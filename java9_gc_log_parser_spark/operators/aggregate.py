@@ -1,0 +1,146 @@
+"""Cumulative state + rollup aggregations (SURVEY §2.5 G1/G2/G3).
+
+G1 ``conv_state_scan``: the reference's running fold ``GcStateFlow``
+(``GcStateFlow.scala:13-37``) emits one cumulative GcState per event — a
+prefix scan, not a grouped agg. Spark-first: a window over
+``(conv_id ORDER BY offset_ms, event_id)`` with per-type running counters and
+``last(..., ignorenulls)`` carry-forward. RemarkPause updates the heap but
+*keeps previous generation sizes* (``GcStateFlow.scala:28-29``) — reproduced
+by feeding nulls for Remark rows into the carry-forward.
+
+G2 ``conv_state_final``: the final snapshot per conversation = grouped
+counters + last sizes. Implemented as a *salted two-phase aggregation*
+(phase 1 groups on (conv_id, salt), phase 2 re-aggregates per conv_id) to
+defuse the hot-conv skew the north rule calls out. For algebraic aggs Spark's
+map-side partial aggregation already bounds per-key work; the salted shape
+matters once holistic aggs (exact percentiles, collect_*) enter, and it keeps
+reducer-side hash tables balanced under extreme key skew.
+
+G3 rollups (target-only): per-time-bucket turn counts, pause-duration
+histograms, exact p99 latency.
+
+The ``cleanups`` counter exists for parity with GcState
+(``GcStateModel.scala:8-17``) but can never increment through the full
+pipeline because the supported-types filter drops Cleanup pauses
+(quirk, ``GcLogStream.scala:21``); feeding assembled Cleanup events directly
+does increment it (tested, mirroring ``GcStateFlowTest.scala:86-100``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: GcState counter -> pause type (GcStateFlow.scala:18-29)
+COUNTERS = {
+    "full_gcs": "Full",
+    "young_gcs": "Young",
+    "initial_marks": "InitialMark",
+    "remarks": "Remark",
+    "mixed": "Mixed",
+    "cleanups": "Cleanup",
+}
+
+GEN_COLS = ["eden_after", "survivor_after", "old_after", "humongous_after"]
+
+
+def conv_state_scan(assembled: DataFrame) -> DataFrame:
+    """G1: one cumulative GcState row per assembled event (prefix scan)."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("offset_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pt = F.col("pause_type")
+    not_remark = pt != "Remark"
+
+    out = assembled.select(
+        "conv_id",
+        "event_id",
+        F.col("offset_ms").alias("time_offset_ms"),
+        *[
+            F.sum((pt == t).cast("long")).over(w).alias(name)
+            for name, t in COUNTERS.items()
+        ],
+        F.col("heap_after").alias("heap_size"),
+        F.col("heap_total"),
+        *[
+            F.coalesce(
+                F.last(F.when(not_remark, F.col(c)), ignorenulls=True).over(w),
+                F.lit(0),
+            ).alias(c)
+            for c in GEN_COLS
+        ],
+    )
+    return out
+
+
+def _salt(n_salts: int) -> Column:
+    # deterministic spreading key; any per-row value works, hash keeps it
+    # uniform even if turn/event ids cluster
+    return F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+
+
+def conv_state_final(assembled: DataFrame, n_salts: int = 16) -> DataFrame:
+    """G2: final GcState per conversation via salted two-phase aggregation."""
+    pt = F.col("pause_type")
+    not_remark_key = F.when(pt != "Remark", F.col("offset_ms"))
+
+    phase1 = assembled.withColumn("_salt", _salt(n_salts)).groupBy(
+        "conv_id", "_salt"
+    )
+    p1 = phase1.agg(
+        *[
+            F.sum((pt == t).cast("long")).alias(f"_{name}")
+            for name, t in COUNTERS.items()
+        ],
+        F.max("offset_ms").alias("_max_off"),
+        F.max_by("heap_after", "offset_ms").alias("_heap_size"),
+        F.max_by("heap_total", "offset_ms").alias("_heap_total"),
+        F.max(not_remark_key).alias("_max_nr_off"),
+        *[
+            F.max_by(F.col(c), not_remark_key).alias(f"_{c}")
+            for c in GEN_COLS
+        ],
+    )
+    out = p1.groupBy("conv_id").agg(
+        *[F.sum(f"_{name}").alias(name) for name in COUNTERS],
+        F.max("_max_off").alias("time_offset_ms"),
+        F.max_by("_heap_size", "_max_off").alias("heap_size"),
+        F.max_by("_heap_total", "_max_off").alias("heap_total"),
+        *[
+            F.coalesce(F.max_by(f"_{c}", "_max_nr_off"), F.lit(0)).alias(c)
+            for c in GEN_COLS
+        ],
+    )
+    return out
+
+
+def bucket_turn_counts(transcripts: DataFrame, bucket: str = "hour") -> DataFrame:
+    """G3a: turns per time bucket (map-side combinable; AQE handles skew)."""
+    return (
+        transcripts.groupBy(F.date_trunc(bucket, "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("turn_count"))
+    )
+
+
+def bucket_pause_stats(assembled: DataFrame, bucket: str = "hour") -> DataFrame:
+    """G3b: per-bucket pause count, mean and exact p99 duration."""
+    return (
+        assembled.groupBy(F.date_trunc(bucket, "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("pause_count"),
+            F.round(F.avg("duration_ms"), 6).alias("mean_ms"),
+            F.round(F.percentile("duration_ms", 0.99), 6).alias("p99_ms"),
+        )
+    )
+
+
+def duration_histogram(assembled: DataFrame, bin_ms: float = 10.0) -> DataFrame:
+    """G3c: pause-duration histogram (fixed-width bins)."""
+    return (
+        assembled.groupBy(
+            F.floor(F.col("duration_ms") / bin_ms).cast("long").alias("dur_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("pause_count"))
+    )
