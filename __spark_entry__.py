@@ -113,6 +113,110 @@ def q12_duration_histogram(spark, sf_dir):
     return duration_histogram(_assembled(spark, sf_dir))
 
 
+# --- training-data ops over documents/embeddings (SURVEY target additions) --
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q13_dedup_exact(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.text_analysis import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q14_token_stats(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.text_analysis import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q15_text_quality(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.text_analysis import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q16_lang_id(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.text_analysis import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q17_fingerprint(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q18_ngram_jaccard(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.dedupe import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.5)
+
+
+def q19_ann_bruteforce(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.similarity import ann_topk_bruteforce
+
+    return ann_topk_bruteforce(_embs(spark, sf_dir), k=5)
+
+
+def q20_ann_lsh(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(_embs(spark, sf_dir), k=5)
+
+
+def q21_embedding_near_dup(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # 0.30: these synthetic embeddings are near-random (max pairwise cosine
+    # ~0.4), so the operator default 0.92 would make the oracle check trivial
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.30)
+
+
+def q22_minhash_lsh(spark, sf_dir):
+    # xxhash64-based: not DuckDB-expressible -> rows-only driver check
+    from java9_gc_log_parser_spark.operators.dedupe import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def q23_simhash_pairs(spark, sf_dir):
+    # xxhash64-based: rows-only driver check
+    from java9_gc_log_parser_spark.operators.dedupe import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
+def q24_multimodal_features(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        decode_and_featurize,
+        documents_as_assets,
+    )
+
+    return decode_and_featurize(documents_as_assets(_docs(spark, sf_dir))).select(
+        "asset_id", "modality", "n_bytes", "width", "height", "n_frames"
+    )
+
+
+def q25_frame_sample(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        decode_and_featurize,
+        documents_as_assets,
+        frame_sample,
+    )
+
+    feats = decode_and_featurize(documents_as_assets(_docs(spark, sf_dir)))
+    return frame_sample(feats, every_n=30)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -255,6 +359,176 @@ GROUP BY CAST(FLOOR(duration_ms / 10.0) AS BIGINT)
 """,
 }
 
+# token CTE shared by the documents oracles (mirrors text_analysis.tokens_col)
+_DTOK = """
+WITH dtok AS (
+  SELECT doc_id, source, text,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+)
+"""
+
+_EMB = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+"""
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))"
+    " + 1e-12), 6)"
+)
+
+_LANGS = {
+    "en": ("the", "a", "fast", "slow"),
+    "fr": ("le", "la", "et", "vite"),
+    "es": ("el", "la", "y", "rapido"),
+    "de": ("der", "die", "und", "schnell"),
+}
+_HITS = ",\n  ".join(
+    "CAST(len(list_filter(ltoks, t -> t IN ({}))) AS BIGINT) AS hits_{}".format(
+        ", ".join(f"'{m}'" for m in _LANGS[lang]), lang
+    )
+    for lang in sorted(_LANGS)
+)
+_PRED = (
+    "CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN hits_{lang} = greatest(hits_de, hits_en, hits_es, hits_fr) "
+        f"THEN '{lang}'"
+        for lang in sorted(_LANGS)
+    )
+    + " ELSE 'unknown' END"
+)
+
+_ORACLES.update(
+    {
+        "q13_dedup_exact": """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+""",
+        "q14_token_stats": _DTOK + """
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+  ROUND(CASE WHEN len(toks) > 0
+             THEN CAST(list_aggregate(list_transform(toks, t -> length(t)),
+                                      'sum') AS DOUBLE) / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len
+FROM dtok
+""",
+        "q15_text_quality": _DTOK + """
+SELECT doc_id,
+  ROUND(CASE WHEN length(text) > 0
+    THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+  ROUND(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, t -> t IN ('a','the'))) AS DOUBLE)
+         / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+  ROUND(
+    0.5 * (CASE WHEN length(text) > 0
+      THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / length(text) ELSE 0.0 END)
+    + 0.3 * (1.0 - (CASE WHEN len(toks) > 0
+      THEN CAST(len(list_filter(toks, t -> t IN ('a','the'))) AS DOUBLE)
+           / len(toks) ELSE 0.0 END))
+    + 0.2 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0), 6)
+    AS quality_score
+FROM dtok
+""",
+        "q16_lang_id": _DTOK + f"""
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, {_PRED} AS pred_lang
+FROM (SELECT doc_id, {_HITS} FROM dtok)
+""",
+        "q17_fingerprint": _DTOK + """
+SELECT doc_id, md5(text) AS text_md5,
+       md5(array_to_string(list_sort(list_distinct(ltoks)), ' '))
+         AS bag_fingerprint
+FROM dtok
+""",
+        "q18_ngram_jaccard": _DTOK + """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(CASE WHEN len(list_distinct(list_concat(a.lt, b.lt))) > 0
+      THEN CAST(len(list_intersect(a.lt, b.lt)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.lt, b.lt)))
+      ELSE 0.0 END, 6) AS jaccard
+  FROM (SELECT doc_id, source, list_distinct(ltoks) AS lt FROM dtok) a
+  JOIN (SELECT doc_id, source, list_distinct(ltoks) AS lt FROM dtok) b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+""",
+        "q19_ann_bruteforce": _EMB + f"""
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS.format(a="q.emb", b="c.emb")} AS cos
+    FROM e q, e c
+    WHERE q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+  )
+) WHERE rk <= 5
+""",
+        "q20_ann_lsh": _EMB + f"""
+, eb AS (
+  SELECT *,
+    (CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM e
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS.format(a="q.emb", b="c.emb")} AS cos
+    FROM eb q, eb c
+    WHERE q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+      AND q.bucket = c.bucket
+  )
+) WHERE rk <= 5
+""",
+        "q21_embedding_near_dup": _EMB + f"""
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_COS.format(a="a.emb", b="b.emb")} AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.30
+""",
+        "q24_multimodal_features": """
+SELECT doc_id AS asset_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+            ELSE 1 + octet_length(encode(text)) % 240 END AS INT) AS n_frames
+FROM documents
+""",
+        "q25_frame_sample": """
+SELECT asset_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS INT)
+         AS frame_idx
+FROM (
+  SELECT doc_id AS asset_id,
+         1 + octet_length(encode(text)) % 240 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+""",
+    }
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
@@ -275,6 +549,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_bucket_turn_counts": q10_bucket_turn_counts,
         "q11_bucket_pause_stats": q11_bucket_pause_stats,
         "q12_duration_histogram": q12_duration_histogram,
+        "q13_dedup_exact": q13_dedup_exact,
+        "q14_token_stats": q14_token_stats,
+        "q15_text_quality": q15_text_quality,
+        "q16_lang_id": q16_lang_id,
+        "q17_fingerprint": q17_fingerprint,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_ann_bruteforce": q19_ann_bruteforce,
+        "q20_ann_lsh": q20_ann_lsh,
+        "q21_embedding_near_dup": q21_embedding_near_dup,
+        "q22_minhash_lsh": q22_minhash_lsh,
+        "q23_simhash_pairs": q23_simhash_pairs,
+        "q24_multimodal_features": q24_multimodal_features,
+        "q25_frame_sample": q25_frame_sample,
     }
 
 

@@ -1,0 +1,156 @@
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline; scales as a broadcast of
+    the (small) query set against a full scan of the vector table, dot
+    products computed JVM-side via zip_with/aggregate (no Python);
+  * sign-LSH bucketed top-k — the scale path: vectors are bucketed by the
+    sign pattern of selected dimensions (a deterministic random-hyperplane
+    LSH with axis-aligned planes); each query probes only its own bucket.
+    At 100 TB the bucket id becomes the table's partition key so a query
+    touches one partition instead of the whole corpus.
+
+Also: embedding-cosine near-duplicate pairs (blocked by label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-12
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def _as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return _dot(da, db) / (_norm(da) * _norm(db) + F.lit(EPS))
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame,
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
+
+    query_pred selects the query subset (default: vec_id % 101 == 0).
+    The query side is broadcast; the corpus is scanned once.
+    """
+    from pyspark.sql import Window
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 101 == 0
+    q = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def sign_bucket(emb: Column, dims: tuple[int, ...] = (1, 2, 3, 4)) -> Column:
+    """Deterministic sign-pattern LSH bucket id (axis-aligned hyperplanes)."""
+    bucket = F.lit(0)
+    for i, d in enumerate(dims):
+        bucket = bucket + F.when(
+            F.element_at(emb, d).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_pred: Column | None = None,
+    k: int = 5,
+    dims: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    Same output shape as the brute-force path; recall trades off against the
+    number of hyperplanes (2^len(dims) buckets).
+    """
+    from pyspark.sql import Window
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 101 == 0
+    withb = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), dims))
+    q = withb.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.92, block_col: str = "label"
+) -> DataFrame:
+    """Near-duplicate vector pairs: cosine >= threshold within a blocking key.
+
+    Blocking (label here; a coarse LSH bucket at scale) keeps the join from
+    being all-pairs."""
+    e = embeddings.select("vec_id", "embedding", F.col(block_col).alias("_blk"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All pure built-in pyspark.sql.functions (JVM columnar, codegen-fused) — no
+Python in the hot path. Each operator has a DuckDB oracle in
+``__spark_entry__`` computing the same semantics with list functions.
+
+Operators: token stats, quality scoring, language-ID heuristic, document
+fingerprinting, exact duplicate detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: closed stopword sets for the n-gram/stopword language heuristic. Real
+#: pipelines plug in real lists; the mechanism (vote by marker-token hits,
+#: deterministic tie-break) is what matters.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "fr": ("le", "la", "et", "vite"),
+    "es": ("el", "la", "y", "rapido"),
+    "de": ("der", "die", "und", "schnell"),
+}
+
+STOPWORDS = ("a", "the")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts + mean token length (BPE-ish proxy stats)."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.round(
+            F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/alpha/stopword-ratio quality score (0..1, rounded 6dp)."""
+    text = F.col("text")
+    n_chars = F.length(text).cast("double")
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.when(
+        n_toks > 0, stop_hits.cast("double") / n_toks
+    ).otherwise(F.lit(0.0))
+    length_term = F.least(F.lit(1.0), n_chars / F.lit(200.0))
+    score = 0.5 * alpha_ratio + 0.3 * (1.0 - stop_ratio) + 0.2 * length_term
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token voting language heuristic; deterministic tie-break by
+    (hits desc, lang asc); no hits -> 'unknown'."""
+    toks = tokens_col(F.lower(F.col("text")))
+
+    def _hits(markers):
+        # NB: the closure must stay 1-arity — a 2-param lambda would be
+        # interpreted by F.filter as an (element, index) lambda
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+
+    hits_by_lang = {
+        lang: _hits(markers) for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    max_hits = F.greatest(*hits_by_lang.values())
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (hits_by_lang[lang] == max_hits) & (max_hits > 0), lang
+        ).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[hits_by_lang[lang].alias(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint: md5 of the sorted distinct
+    token list (the exact-dedup key for content-equivalent docs)."""
+    toks = tokens_col(F.lower(F.col("text")))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.md5(bag).alias("bag_fingerprint"),
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups on normalized text (lower + collapsed ws).
+
+    Returns one row per distinct normalized text with the group size and the
+    canonical (minimum) doc_id — the classic keep-one-per-group dedup shape;
+    scales as a single hash aggregation (map-side combinable).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Streaming assembler vs batch assembler (SURVEY §2.9).
+
+The streaming operator buffers out-of-order lines across micro-batches and
+emits an event exactly once when complete; stragglers (end present, never
+completed) are dead-lettered by processing-time timeout.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from java9_gc_log_parser_spark.functions.parse import parse_lines
+from java9_gc_log_parser_spark.operators.assemble import (
+    assembled_pauses,
+    assembly_dead_letters,
+)
+from java9_gc_log_parser_spark.operators.route import supported_types_filter
+from java9_gc_log_parser_spark.sources.transcripts import synth_transcripts
+from java9_gc_log_parser_spark.streaming.assembler import stream_assembled
+
+INPUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, sf_dir, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "transcripts.parquet")
+    # round-robin repartition scatters one event's lines across many files on
+    # purpose: micro-batches then deliver them out of order across triggers
+    synth_transcripts(spark, sf_dir).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def test_streaming_matches_batch_assembly(spark, stream_source, tmp_path):
+    out = stream_assembled(spark, stream_source, INPUT_SCHEMA)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("assembled_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM assembled_stream")
+    got_ok = sorted(
+        [
+            (r.conv_id, r.event_id, r.pause_type, r.offset_ms, r.duration_ms,
+             r.eden_after, r.humongous_after)
+            for r in got.filter("verdict = 'ok'").collect()
+        ]
+    )
+    # every ok event emitted exactly once, despite cross-batch reordering
+    batch_filtered = supported_types_filter(
+        parse_lines(spark.read.parquet(stream_source))
+    )
+    want_ok = sorted(
+        [
+            (r.conv_id, r.event_id, r.pause_type, r.offset_ms, r.duration_ms,
+             r.eden_after, r.humongous_after)
+            for r in assembled_pauses(batch_filtered).collect()
+        ]
+    )
+    assert got_ok == want_ok and len(got_ok) > 0
+    # error groups are stragglers awaiting timeout; with availableNow (no
+    # further triggers) they must NOT have been emitted
+    assert got.filter("verdict <> 'ok'").count() == 0
+    # ...and the batch assembler confirms they exist in this input
+    assert assembly_dead_letters(batch_filtered).count() > 0
+
+
+def test_straggler_timeout_dead_letter(spark, tmp_path):
+    """A group with an end but no start must dead-letter after the timeout."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "src")
+    rows = [
+        Row(conv_id="c1", turn_idx=0, role="assistant",
+            text="[1.5s][info][gc] GC(7) Pause Young (G1 Evacuation Pause) "
+                 "10M->5M(64M) 2.0ms",
+            tool=None, ts=datetime.datetime(2024, 1, 1)),
+    ]
+    spark.createDataFrame(rows, INPUT_SCHEMA).write.parquet(src)
+
+    out = stream_assembled(spark, src, INPUT_SCHEMA, timeout_ms=3000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("straggler_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        errs = []
+        while time.time() < deadline:
+            # empty micro-batches keep firing, eventually the timeout trips
+            errs = spark.sql(
+                "SELECT * FROM straggler_stream WHERE verdict <> 'ok'"
+            ).collect()
+            if errs:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert len(errs) == 1
+    assert errs[0].verdict == "end_before_start"
+    assert errs[0].event_id == 7
