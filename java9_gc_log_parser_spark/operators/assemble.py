@@ -19,6 +19,14 @@ reference's mutable overwrite under stable (conv_id, turn_idx) order.
 
 Groups that never see a PauseEnd are dangling state at stream end: the
 reference silently discards them; so do we (tested).
+
+Scale note: ``max_by`` over a *string* column has an immutable aggregation
+buffer, which knocks the entire groupBy off HashAggregate onto
+SortAggregate (a full per-partition sort of the biggest table in the
+pipeline). The closed ``pause_type``/``reason`` vocabularies are therefore
+dictionary-encoded to int codes before the agg and decoded after, keeping
+every buffer field primitive so Catalyst plans a hash aggregation
+(asserted in tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -26,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.grammar import ERR_END_BEFORE_START, ERR_MISSING_REGIONS, REGIONS
+from ..functions.grammar import (
+    ERR_END_BEFORE_START,
+    ERR_MISSING_REGIONS,
+    PAUSE_TYPES,
+    REASONS,
+    REGIONS,
+)
 
 ASSEMBLED_COLUMNS = [
     "conv_id",
@@ -53,6 +67,25 @@ def _last(value: Column, cond: Column) -> Column:
     return F.max_by(value, F.when(cond, F.col("turn_idx")))
 
 
+#: closed vocabularies dictionary-encoded for the hash-aggregable assembly
+PAUSE_TYPE_CODES = {t: i for i, t in enumerate(sorted(set(PAUSE_TYPES.values())))}
+REASON_CODES = {r: i for i, r in enumerate(sorted(set(REASONS.values())))}
+
+
+def _encode(col: Column, codes: dict[str, int]) -> Column:
+    out = F.lit(None).cast("int")
+    for token, code in codes.items():
+        out = F.when(col == token, code).otherwise(out)
+    return out
+
+
+def _decode(col: Column, codes: dict[str, int]) -> Column:
+    out = F.lit(None).cast("string")
+    for token, code in codes.items():
+        out = F.when(col == code, token).otherwise(out)
+    return out
+
+
 def assemble_groups(filtered: DataFrame) -> DataFrame:
     """One row per (conv_id, event_id) group with validity verdict attached.
 
@@ -76,12 +109,14 @@ def assemble_groups(filtered: DataFrame) -> DataFrame:
 
     g = (
         filtered.filter(F.col("event_id").isNotNull())
+        .withColumn("_pt_code", _encode(F.col("pause_type"), PAUSE_TYPE_CODES))
+        .withColumn("_rs_code", _encode(F.col("reason"), REASON_CODES))
         .groupBy("conv_id", "event_id")
         .agg(
             F.max(is_start).alias("has_start"),
             F.max(is_end).alias("has_end"),
-            _last(F.col("pause_type"), is_end).alias("pause_type"),
-            _last(F.col("reason"), is_end).alias("reason"),
+            _last(F.col("_pt_code"), is_end).alias("_pt_code"),
+            _last(F.col("_rs_code"), is_end).alias("_rs_code"),
             _last(F.col("offset_ms"), is_end).alias("offset_ms"),
             _last(F.col("duration_ms"), is_end).alias("duration_ms"),
             _last(F.col("heap_before"), is_end).alias("heap_before"),
@@ -90,6 +125,9 @@ def assemble_groups(filtered: DataFrame) -> DataFrame:
             _last(F.col("ts"), is_end).alias("ts"),
             *region_aggs.values(),
         )
+        .withColumn("pause_type", _decode(F.col("_pt_code"), PAUSE_TYPE_CODES))
+        .withColumn("reason", _decode(F.col("_rs_code"), REASON_CODES))
+        .drop("_pt_code", "_rs_code")
     )
 
     is_remark = F.col("pause_type") == "Remark"

@@ -1,0 +1,105 @@
+"""Physical-plan assertions (SURVEY §4: disciplined physical planning).
+
+These tests pin the *plan shape*, not just results:
+
+- enrich joins execute as BroadcastHashJoin (never shuffle the fact side
+  against a 4-row dim — SURVEY §2.6);
+- after ``plans.pipeline.build(persist=True)`` every sink reads the parsed
+  DataFrame from the InMemoryRelation cache, so the Arrow parse stage runs
+  once for all sinks (SURVEY §4 "one-pass fan-out");
+- parquet scans get filters pushed down and columns pruned (PushedFilters /
+  ReadSchema in the formatted plan) so a 100 TB scan only reads what the
+  query projects.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from java9_gc_log_parser_spark.operators.enrich import enrich
+from java9_gc_log_parser_spark.plans.pipeline import build
+from java9_gc_log_parser_spark.sources.transcripts import synth_transcripts
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_enrich_uses_broadcast_hash_join(spark, sf_dir):
+    df = enrich(synth_transcripts(spark, sf_dir))
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_pipeline_sinks_read_parse_from_cache(spark, sf_dir):
+    transcripts = synth_transcripts(spark, sf_dir)
+    dfs = build(transcripts, persist=True)
+    try:
+        for sink in ("pause_events", "tool_calls", "unmatched", "assembled",
+                     "conv_state", "dur_histogram"):
+            plan = _formatted(dfs[sink])
+            assert "InMemoryTableScan" in plan, f"{sink} does not hit the cache"
+            # the Arrow parse stage must not re-run below the cache boundary
+            assert "ArrowEvalPython" not in plan.split("InMemoryTableScan")[0], (
+                f"{sink} re-executes the parse UDF above the cache"
+            )
+    finally:
+        dfs["parsed"].unpersist()
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("source") == "web").select("doc_id", "text")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,web)]" in plan
+    # projection pruned to the selected columns (+ filter column)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "token_count" not in read_schema
+    # whole-stage codegen covers the scan->filter->project span
+    assert "codegen id" in plan
+
+
+def test_route_stage_is_fully_jvm_side(spark, sf_dir):
+    """The default parse cascade + route predicates never leave the JVM:
+    no Python eval nodes of any kind in the plan (the Arrow twin in
+    functions/parse_arrow.py is the explicit opt-in alternative)."""
+    transcripts = synth_transcripts(spark, sf_dir)
+    from java9_gc_log_parser_spark.functions.parse import parse_lines
+    from java9_gc_log_parser_spark.operators.route import supported_types_filter
+
+    plan = _formatted(supported_types_filter(parse_lines(transcripts)))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_assembly_and_state_aggs_are_hash_based(spark, sf_dir):
+    """Assembly groupBy + salted G2 agg plan as HashAggregate, never
+    SortAggregate (string max_by buffers would silently force a full
+    per-partition sort of the biggest table — see assemble.py scale note)."""
+    from java9_gc_log_parser_spark.functions.parse import parse_lines
+    from java9_gc_log_parser_spark.operators.assemble import assembled_pauses
+    from java9_gc_log_parser_spark.operators.aggregate import conv_state_final
+    from java9_gc_log_parser_spark.operators.route import supported_types_filter
+
+    assembled = assembled_pauses(
+        supported_types_filter(parse_lines(synth_transcripts(spark, sf_dir)))
+    )
+    plan = _formatted(conv_state_final(assembled))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+@pytest.mark.parametrize("sink", ["pause_events", "tool_calls"])
+def test_sink_plans_have_no_cartesian_or_nested_loop(spark, sf_dir, sink):
+    transcripts = synth_transcripts(spark, sf_dir)
+    dfs = build(transcripts, persist=False)
+    plan = _formatted(dfs[sink])
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
