@@ -18,6 +18,17 @@ Scale design (the 100 TB story):
   - exact verification runs only on candidate pairs, never all-pairs;
   - the exact n-gram variant requires a blocking key (e.g. source/length
     bucket) precisely because unblocked all-pairs does not exist at scale.
+
+Expression-shape note (measured 20-60x): expensive array expressions
+(tokenize, shingle, signature) are bound to real columns with ``withColumn``
+before being referenced more than once. Catalyst's CollapseProject inlines a
+projection into every downstream reference unless the producer is non-cheap
+and multiply-referenced; an inlined ``split()`` inside a per-position
+``transform`` lambda re-tokenizes the document once per shingle position
+(O(len^2)), and higher-order-function lambdas are interpreted (no codegen
+subexpression elimination to save you). Signatures are likewise computed in
+ONE array traversal (``aggregate`` + ``zip_with``) instead of one traversal
+per hash/bit.
 """
 
 from __future__ import annotations
@@ -27,20 +38,46 @@ from pyspark.sql import functions as F
 
 from .text_analysis import tokens_col
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def with_shingles(docs: DataFrame, n: int = 3, out: str = "sh") -> DataFrame:
+    """Add a distinct word-n-gram shingle column (tokens bound first so the
+    tokenizer runs once per row, not once per shingle position).
+
+    len(tokens) < n -> the full token string as a single shingle (so short
+    docs still dedupe).
+    """
+    toks = F.col("_toks")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        docs.withColumn("_toks", tokens_col(F.lower(F.col("text"))))
+        .withColumn(
+            out,
+            F.array_distinct(
+                F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+            ),
+        )
+        .drop("_toks")
+    )
+
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct). len(tokens) < n -> the full token
-    string as a single shingle (so short docs still dedupe)."""
+    """Column-expression shingles for one-shot use. Do NOT reference the
+    result more than once in a plan — use :func:`with_shingles` instead (see
+    module expression-shape note)."""
     toks = tokens_col(F.lower(text))
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), k - n + 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.array_distinct(
-        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
     )
 
 
@@ -54,10 +91,8 @@ def ngram_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    sh = docs.select(
-        "doc_id",
-        F.col(block_col).alias("_blk"),
-        word_shingles(F.col("text"), n).alias("sh"),
+    sh = with_shingles(docs, n).select(
+        "doc_id", F.col(block_col).alias("_blk"), "sh", F.size("sh").alias("sz")
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -66,15 +101,21 @@ def ngram_jaccard_pairs(
         (F.col("a._blk") == F.col("b._blk"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    # one array traversal per pair: |A u B| = |A| + |B| - |A n B| since the
+    # shingle arrays are distinct; _inter bound so intersect runs once
+    scored = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sz").alias("_sza"),
+        F.col("b.sz").alias("_szb"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("_inter"),
+    )
+    union = F.col("_sza") + F.col("_szb") - F.col("_inter")
+    jac = F.when(union > 0, F.col("_inter").cast("double") / union).otherwise(
+        F.lit(0.0)
+    )
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        scored.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -84,21 +125,35 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
-    """k minhashes; hash_j(s) = xxhash64(s, j). Empty shingle set -> nulls."""
-    def _mh(j: int):
-        # keep the lambda 1-arity (2-arity means (element, index) to Spark)
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+    """k minhashes in ONE shingle-array traversal; hash_j(s) = xxhash64(s, j).
 
-    return F.array(*[_mh(j).alias(f"mh{j}") for j in range(k)])
+    acc starts at [Long.Max]*k and folds elementwise-min of the per-shingle
+    hash vector. Empty shingle set -> [Long.Max]*k (never occurs via
+    with_shingles, which emits >=1 shingle).
+    """
+    zero = F.array(*[F.lit(_LONG_MAX).cast("long") for _ in range(k)])
+    return F.aggregate(
+        shingles,
+        zero,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(j)) for j in range(k)]),
+            lambda a, h: F.least(a, h),
+        ),
+    )
 
 
 def lsh_buckets(
     docs: DataFrame, k: int = 32, bands: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """(doc_id, band_id, band_hash) — one row per band per doc."""
+    """(doc_id, band_id, band_hash) — one row per band per doc.
+
+    band_hash = xxhash64 of the band's signature slice (hashing the array
+    value directly; no per-element re-reference of the signature column).
+    """
     r = k // bands
-    sig = docs.select(
-        "doc_id", minhash_signature(word_shingles(F.col("text"), shingle_n), k).alias("sig")
+    sig = with_shingles(docs, shingle_n).withColumn(
+        "_sig", minhash_signature(F.col("sh"), k)
     )
     band_rows = sig.select(
         "doc_id",
@@ -107,9 +162,7 @@ def lsh_buckets(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * r + i + 1) for i in range(r)]
-                        ).alias("band_hash"),
+                        F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -131,8 +184,13 @@ def minhash_lsh_pairs(
 
     Buckets larger than max_bucket (degenerate content) are dropped to bound
     the quadratic pair blow-up; at scale, report them via lsh_buckets stats.
+    The bucket table is repartitioned on its join key before the self-join so
+    both sides reuse one shuffle (ReusedExchange) instead of recomputing the
+    shingle->signature pipeline twice.
     """
-    b = lsh_buckets(docs, k, bands, shingle_n)
+    b = lsh_buckets(docs, k, bands, shingle_n).repartition(
+        "band_id", "band_hash"
+    )
     sized = b.withColumn(
         "bucket_n",
         F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash")),
@@ -148,14 +206,36 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", word_shingles(F.col("text"), shingle_n).alias("sh"))
-    verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    sh = (
+        with_shingles(docs, shingle_n)
+        .select("doc_id", "sh", F.size("sh").alias("sz"))
+        .repartition("doc_id")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    verified = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("sz").alias("_sza"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("sz").alias("_szb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "_inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+    )
+    union = F.col("_sza") + F.col("_szb") - F.col("_inter")
+    jac = F.when(union > 0, F.col("_inter").cast("double") / union).otherwise(
+        F.lit(0.0)
+    )
     return verified.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
@@ -165,38 +245,53 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over tokens: bit b = sign of sum over tokens of
-    (+1 if bit b of xxhash64(token) else -1). Pure columnar arithmetic:
-    tokens are hashed once, then the 64 bit-sums are unrolled Python-side
-    (shift amounts must be literals). At extreme scale a numpy/Arrow kernel
-    doing the bit-unpack in one pass would cut the 64 array traversals."""
-    toks = F.array_distinct(tokens_col(F.lower(text)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash64(hashes: Column) -> Column:
+    """64-bit SimHash from a bound token-hash array column, in ONE traversal:
+    fold a 64-wide bit-count vector (+1/-1 per token per bit via getbit),
+    then weight positive counts by their bit value. ``hashes`` must be a real
+    column (see module expression-shape note)."""
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(64)])
+    weights = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")  # bit 63 = sign
+            for b in range(64)
+        ]
+    )
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda a, b: a + F.when(F.getbit(h, b) == 1, 1).otherwise(-1)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
 
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
 
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        weight = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit
-        sig = sig + F.when(bit_sum(b) > 0, F.lit(weight).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+def with_simhash(docs: DataFrame, out: str = "sim") -> DataFrame:
+    """Add the 64-bit SimHash column (tokens + hashes bound once per row)."""
+    return (
+        docs.withColumn("_toks", F.array_distinct(tokens_col(F.lower(F.col("text")))))
+        .withColumn("_hashes", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
+        .withColumn(out, simhash64(F.col("_hashes")))
+        .drop("_toks", "_hashes")
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup candidates by banded SimHash: 4 bands of 16 bits; a pair
-    sharing any band is a candidate; verified by exact Hamming distance."""
-    sig = docs.select("doc_id", simhash64(F.col("text")).alias("sim"))
+    sharing any band is a candidate; verified by exact Hamming distance.
+    Bands are repartitioned on the join key so the self-join reuses one
+    shuffle instead of recomputing signatures per side."""
+    sig = with_simhash(docs).select("doc_id", "sim")
     bands = sig.select(
         "doc_id",
         "sim",
@@ -213,7 +308,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "sim", "b.band_id", "b.band_val")
+    ).select("doc_id", "sim", "b.band_id", "b.band_val").repartition(
+        "band_id", "band_val"
+    )
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
