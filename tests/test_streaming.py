@@ -116,3 +116,38 @@ def test_straggler_timeout_dead_letter(spark, tmp_path):
     assert len(errs) == 1
     assert errs[0].verdict == "end_before_start"
     assert errs[0].event_id == 7
+
+
+def test_stream_conv_state_matches_batch_final(spark, stream_source, tmp_path):
+    """After the snapshot stream drains, the cumulative state equals the
+    batch conv_state_final over the same input, and every micro-batch left a
+    snapshot + a metrics heartbeat line."""
+    import json
+    import os
+
+    from java9_gc_log_parser_spark.operators.aggregate import conv_state_final
+    from java9_gc_log_parser_spark.streaming.state_stream import (
+        final_state,
+        stream_conv_state,
+    )
+
+    out_root = str(tmp_path / "state_stream")
+    q = stream_conv_state(spark, stream_source, INPUT_SCHEMA, out_root,
+                          max_files_per_trigger=8)
+    q.awaitTermination(300)
+
+    got = sorted(map(tuple, final_state(spark, out_root).collect()))
+    batch_filtered = supported_types_filter(
+        parse_lines(spark.read.parquet(stream_source))
+    )
+    want = sorted(
+        map(tuple, conv_state_final(assembled_pauses(batch_filtered)).collect())
+    )
+    assert got == want and len(got) > 0
+
+    with open(os.path.join(out_root, "metrics.jsonl")) as f:
+        metrics = [json.loads(line) for line in f]
+    assert len(metrics) >= 2  # several micro-batches actually ran
+    assert {m["batch_id"] for m in metrics} == set(range(len(metrics)))
+    snapshots = os.listdir(os.path.join(out_root, "snapshots"))
+    assert len(snapshots) == len(metrics)
