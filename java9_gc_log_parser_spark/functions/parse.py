@@ -28,6 +28,18 @@ Output schema (all nullable; null means "not applicable to this class"):
 
 Unmatched lines keep every parse field null and preserve the raw text
 (reference ``UnknownLine``, ``GcLineParser.scala:116-118``).
+
+Expression-shape note (measured ~2.5x): the cascade is *staged* — every
+regex group is extracted exactly once into a bound intermediate column, and
+all classification/typing logic downstream references only those cheap
+attributes. Collapsing everything into one Project would inline the
+class-resolution subtree (itself ~20 regex ops) into each of the ~15
+dependent output columns; Catalyst keeps multiply-referenced non-cheap
+producers as separate project stages, and codegen still fuses the whole
+chain into one stage. Class flags come from mandatory capture groups
+(``group != ''``) so no production pays both an ``rlike`` and an extract;
+class-specific groups are guarded by their flag so non-matching rows skip
+the matcher entirely.
 """
 
 from __future__ import annotations
@@ -51,71 +63,77 @@ def _dur_ms(i: Column, f: Column, unit: Column) -> Column:
 
 
 def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the wide parse-struct columns to ``df``.
-
-    One Project node; Catalyst fuses the whole cascade into a single
-    whole-stage-codegen span over the scan.
-    """
+    """Append the wide parse-struct columns to ``df`` (staged cascade; see
+    module expression-shape note). Codegen fuses all stages into one span."""
     text = F.col(text_col)
-    header_ok = text.rlike(_H)
 
-    h_int, h_frac, h_unit = _hdr(text, 1), _hdr(text, 2), _hdr(text, 3)
-    level = _hdr(text, 4)
-    tags_raw = _hdr(text, 5)
-    event_id_raw = _hdr(text, 6)
-    event_id = F.when(event_id_raw != "", event_id_raw.try_cast("int"))
-    body = _hdr(text, 7)
+    # --- stage 1: header groups, one matcher run per group ------------------
+    # group 1 is mandatory digits, so _h1 != '' <=> header matched (saves the
+    # separate rlike run of the header regex)
+    df = df.withColumns(
+        {f"_h{i}": _hdr(text, i) for i in range(1, 7)} | {"_body": _hdr(text, 7)}
+    )
+    h_int, h_frac, h_unit = F.col("_h1"), F.col("_h2"), F.col("_h3")
+    header_ok = h_int != ""
+    body = F.col("_body")
 
-    # Duration.toMillis truncates sub-ms; for unit 's' that is
-    # int_part*1000 + first-three fraction digits (zero-padded).
-    frac3 = F.rpad(F.substring(F.when(h_frac == "", "0").otherwise(h_frac), 1, 3), 3, "0")
-    offset_ms = F.when(
-        h_unit == "s", h_int.try_cast("long") * 1000 + frac3.cast("long")
-    ).otherwise(h_int.try_cast("long"))
+    # --- stage 2: one probe extract per body production ---------------------
+    # flag <=> a mandatory capture group is non-empty; the probe group itself
+    # is data (region name / heap-before / pause type / size / dur int-part)
+    df = df.withColumns(
+        {
+            "_nr1": F.regexp_extract(body, G.NR_REGIONS_RE, 1),
+            "_e3": F.regexp_extract(body, G.PAUSE_END_RE, 3),
+            "_s1": F.regexp_extract(body, G.PAUSE_START_RE, 1),
+            "_rs1": F.regexp_extract(body, G.REGION_SIZE_RE, 1),
+            "_ph2": F.regexp_extract(body, G.PHASE_RE, 2),
+            "_is_cc": body.rlike(G.CONCURRENT_CYCLE_RE),
+            "_is_ts": body.rlike(G.TO_SPACE_RE),
+            "_is_g1": body.rlike(G.USING_G1_RE),
+        }
+    )
+    is_nr = F.col("_nr1") != ""
+    is_end = F.col("_e3") != ""
+    is_start = F.col("_s1") != ""
+    is_rs = F.col("_rs1") != ""
+    is_ph = F.col("_ph2") != ""  # PHASE group 1 can match empty; group 2 is \d+
 
-    tags = F.array_sort(
-        F.array_distinct(
-            F.filter(
-                F.split(F.regexp_replace(tags_raw, r"\s+", ""), ","),
-                lambda x: x != "",
-            )
-        )
+    # --- stage 3: class-specific groups, guarded so only matching rows pay --
+    def _gx(cond: Column, re: str, i: int) -> Column:
+        return F.when(cond, F.regexp_extract(body, re, i)).otherwise("")
+
+    df = df.withColumns(
+        {
+            "_nr2": _gx(is_nr, G.NR_REGIONS_RE, 2),
+            "_nr3": _gx(is_nr, G.NR_REGIONS_RE, 3),
+            "_e1": _gx(is_end, G.PAUSE_END_RE, 1),
+            "_e2": _gx(is_end, G.PAUSE_END_RE, 2),
+            "_e4": _gx(is_end, G.PAUSE_END_RE, 4),
+            "_e5": _gx(is_end, G.PAUSE_END_RE, 5),
+            "_e6": _gx(is_end, G.PAUSE_END_RE, 6),
+            "_e7": _gx(is_end, G.PAUSE_END_RE, 7),
+            "_e8": _gx(is_end, G.PAUSE_END_RE, 8),
+            "_s2": _gx(is_start & ~is_end, G.PAUSE_START_RE, 2),
+            "_ph1": _gx(is_ph, G.PHASE_RE, 1),
+            "_ph3": _gx(is_ph, G.PHASE_RE, 3),
+            "_ph4": _gx(is_ph, G.PHASE_RE, 4),
+        }
     )
 
-    # --- body productions, reference alternation order ---
-    is_nr = body.rlike(G.NR_REGIONS_RE)
-    is_end = body.rlike(G.PAUSE_END_RE)
-    is_start = body.rlike(G.PAUSE_START_RE)
-    is_cc = body.rlike(G.CONCURRENT_CYCLE_RE)
-    is_ts = body.rlike(G.TO_SPACE_RE)
-    is_g1 = body.rlike(G.USING_G1_RE)
-    is_rs = body.rlike(G.REGION_SIZE_RE)
-    is_ph = body.rlike(G.PHASE_RE)
-
+    # --- stage 4: classification over bound attributes ----------------------
     # reason: captured *with* parens so "absent" ('') differs from "()" — the
     # reference throws a MatchError on any parsed-but-unlisted reason string
     # (GcLineParser.scala:57-61); we dead-letter those lines instead.
-    end_reason_raw = F.regexp_extract(body, G.PAUSE_END_RE, 2)
-    start_reason_raw = F.regexp_extract(body, G.PAUSE_START_RE, 2)
+    end_reason_raw = F.col("_e2")
+    start_reason_raw = F.col("_s2")
 
     def inner(raw: Column) -> Column:
         return F.substring(raw, 2, F.length(raw) - 2)
 
     listed = list(G.REASONS.keys())
 
-    def reason_mapped(raw: Column) -> Column:
-        i = inner(raw)
-        c = F.when(raw == "", F.lit(None).cast("string"))
-        for lit in listed:
-            c = c.when(i == lit, G.REASONS[lit])
-        return c.otherwise(F.lit(None).cast("string"))
-
     def reason_unlisted(raw: Column) -> Column:
         return (raw != "") & ~inner(raw).isin(listed)
-
-    ptype_map = F.create_map(
-        *[F.lit(x) for kv in G.PAUSE_TYPES.items() for x in kv]
-    )
 
     end_unlisted = is_end & reason_unlisted(end_reason_raw)
     start_unlisted = (~is_end) & is_start & reason_unlisted(start_reason_raw)
@@ -126,9 +144,9 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(end_unlisted | start_unlisted, "unmatched")
         .when(is_end, "pause_end")
         .when(is_start, "pause_start")
-        .when(is_cc, "concurrent_cycle")
-        .when(is_ts, "to_space_exhausted")
-        .when(is_g1, "using_g1")
+        .when(F.col("_is_cc"), "concurrent_cycle")
+        .when(F.col("_is_ts"), "to_space_exhausted")
+        .when(F.col("_is_g1"), "using_g1")
         .when(is_rs, "region_size")
         .when(is_ph, "phase")
         .otherwise("unmatched")
@@ -141,104 +159,116 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         return (raw != "") & raw.try_cast(typ).isNull()
 
     overflow = (
-        _ovf(event_id_raw, "int")
+        _ovf(F.col("_h6"), "int")
         | _ovf(h_int, "long")
         | F.when(
             grammar_class == "pause_end",
-            _ovf(F.regexp_extract(body, G.PAUSE_END_RE, 3), "long")
-            | _ovf(F.regexp_extract(body, G.PAUSE_END_RE, 4), "long")
-            | _ovf(F.regexp_extract(body, G.PAUSE_END_RE, 5), "long"),
+            _ovf(F.col("_e3"), "long")
+            | _ovf(F.col("_e4"), "long")
+            | _ovf(F.col("_e5"), "long"),
         ).otherwise(F.lit(False))
         | F.when(
             grammar_class == "nr_regions",
-            _ovf(F.regexp_extract(body, G.NR_REGIONS_RE, 2), "long")
-            | _ovf(F.regexp_extract(body, G.NR_REGIONS_RE, 3), "long"),
+            _ovf(F.col("_nr2"), "long") | _ovf(F.col("_nr3"), "long"),
         ).otherwise(F.lit(False))
         | F.when(
-            grammar_class == "region_size",
-            _ovf(F.regexp_extract(body, G.REGION_SIZE_RE, 1), "long"),
+            grammar_class == "region_size", _ovf(F.col("_rs1"), "long")
         ).otherwise(F.lit(False))
     )
 
+    df = df.withColumns(
+        {
+            "_gclass": grammar_class,
+            "_unl": end_unlisted | start_unlisted,
+            "_ovfl": overflow,
+        }
+    )
+
+    # --- stage 5: output columns over bound attributes ----------------------
+    gclass = F.col("_gclass")
     event_class = F.when(
-        (grammar_class != "unmatched") & overflow, "unmatched"
-    ).otherwise(grammar_class)
+        (gclass != "unmatched") & F.col("_ovfl"), "unmatched"
+    ).otherwise(gclass)
 
     reason_code = (
         F.when(~header_ok, "header_mismatch")
-        .when(end_unlisted | start_unlisted, "unlisted_reason")
-        .when((grammar_class != "unmatched") & overflow, "numeric_overflow")
+        .when(F.col("_unl"), "unlisted_reason")
+        .when((gclass != "unmatched") & F.col("_ovfl"), "numeric_overflow")
         .otherwise("body_mismatch")
     )
 
+    def reason_mapped(raw: Column) -> Column:
+        i = inner(raw)
+        c = F.when(raw == "", F.lit(None).cast("string"))
+        for lit in listed:
+            c = c.when(i == lit, G.REASONS[lit])
+        return c.otherwise(F.lit(None).cast("string"))
+
+    ptype_map = F.create_map(
+        *[F.lit(x) for kv in G.PAUSE_TYPES.items() for x in kv]
+    )
+
+    # Duration.toMillis truncates sub-ms; for unit 's' that is
+    # int_part*1000 + first-three fraction digits (zero-padded).
+    frac3 = F.rpad(F.substring(F.when(h_frac == "", "0").otherwise(h_frac), 1, 3), 3, "0")
+    offset_ms = F.when(
+        h_unit == "s", h_int.try_cast("long") * 1000 + frac3.cast("long")
+    ).otherwise(h_int.try_cast("long"))
+
+    tags = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.regexp_replace(F.col("_h5"), r"\s+", ""), ","),
+                lambda x: x != "",
+            )
+        )
+    )
+
+    event_id = F.when(F.col("_h6") != "", F.col("_h6").try_cast("int"))
     matched = event_class != "unmatched"
+    is_ec_end = event_class == "pause_end"
+    is_ec_nr = event_class == "nr_regions"
 
-    pause_type = F.when(
-        event_class == "pause_end",
-        ptype_map[F.regexp_extract(body, G.PAUSE_END_RE, 1)],
-    ).when(
-        event_class == "pause_start",
-        ptype_map[F.regexp_extract(body, G.PAUSE_START_RE, 1)],
-    )
-
-    reason = F.when(event_class == "pause_end", reason_mapped(end_reason_raw)).when(
-        event_class == "pause_start", reason_mapped(start_reason_raw)
-    )
-
-    def endg(i: int) -> Column:
-        return F.regexp_extract(body, G.PAUSE_END_RE, i)
-
-    heap_before = F.when(event_class == "pause_end", endg(3).try_cast("long"))
-    heap_after = F.when(event_class == "pause_end", endg(4).try_cast("long"))
-    heap_total = F.when(event_class == "pause_end", endg(5).try_cast("long"))
-    duration_ms = F.when(
-        event_class == "pause_end", _dur_ms(endg(6), endg(7), endg(8))
-    )
-
-    region = F.when(event_class == "nr_regions", F.regexp_extract(body, G.NR_REGIONS_RE, 1))
-    region_before = F.when(
-        event_class == "nr_regions", F.regexp_extract(body, G.NR_REGIONS_RE, 2).try_cast("long")
-    )
-    region_after = F.when(
-        event_class == "nr_regions", F.regexp_extract(body, G.NR_REGIONS_RE, 3).try_cast("long")
-    )
-
-    region_size_mb = F.when(
-        event_class == "region_size", F.regexp_extract(body, G.REGION_SIZE_RE, 1).try_cast("long")
-    )
-
-    phase_details = F.when(event_class == "phase", F.regexp_extract(body, G.PHASE_RE, 1))
-    phase_ms = F.when(
-        event_class == "phase",
-        _dur_ms(
-            F.regexp_extract(body, G.PHASE_RE, 2),
-            F.regexp_extract(body, G.PHASE_RE, 3),
-            F.regexp_extract(body, G.PHASE_RE, 4),
-        ),
-    )
-
-    return df.withColumns(
+    out = df.withColumns(
         {
             "event_class": event_class,
             "offset_ms": F.when(matched, offset_ms),
-            "level": F.when(matched, level),
+            "level": F.when(matched, F.col("_h4")),
             "tags": F.when(matched, tags),
             "event_id": F.when(matched, event_id),
-            "pause_type": pause_type,
-            "reason": reason,
-            "heap_before": heap_before,
-            "heap_after": heap_after,
-            "heap_total": heap_total,
-            "duration_ms": duration_ms,
-            "region": region,
-            "region_before": region_before,
-            "region_after": region_after,
-            "region_size_mb": region_size_mb,
-            "phase_details": phase_details,
-            "phase_ms": phase_ms,
+            "pause_type": F.when(is_ec_end, ptype_map[F.col("_e1")]).when(
+                event_class == "pause_start", ptype_map[F.col("_s1")]
+            ),
+            "reason": F.when(is_ec_end, reason_mapped(end_reason_raw)).when(
+                event_class == "pause_start", reason_mapped(start_reason_raw)
+            ),
+            "heap_before": F.when(is_ec_end, F.col("_e3").try_cast("long")),
+            "heap_after": F.when(is_ec_end, F.col("_e4").try_cast("long")),
+            "heap_total": F.when(is_ec_end, F.col("_e5").try_cast("long")),
+            "duration_ms": F.when(
+                is_ec_end, _dur_ms(F.col("_e6"), F.col("_e7"), F.col("_e8"))
+            ),
+            "region": F.when(is_ec_nr, F.col("_nr1")),
+            "region_before": F.when(is_ec_nr, F.col("_nr2").try_cast("long")),
+            "region_after": F.when(is_ec_nr, F.col("_nr3").try_cast("long")),
+            "region_size_mb": F.when(
+                event_class == "region_size", F.col("_rs1").try_cast("long")
+            ),
+            "phase_details": F.when(event_class == "phase", F.col("_ph1")),
+            "phase_ms": F.when(
+                event_class == "phase",
+                _dur_ms(F.col("_ph2"), F.col("_ph3"), F.col("_ph4")),
+            ),
             "reason_code": F.when(event_class == "unmatched", reason_code),
         }
     )
+    staging = (
+        [f"_h{i}" for i in range(1, 7)]
+        + ["_body", "_nr1", "_e3", "_s1", "_rs1", "_ph2", "_is_cc", "_is_ts",
+           "_is_g1", "_nr2", "_nr3", "_e1", "_e2", "_e4", "_e5", "_e6", "_e7",
+           "_e8", "_s2", "_ph1", "_ph3", "_ph4", "_gclass", "_unl", "_ovfl"]
+    )
+    return out.drop(*staging)
 
 
 PARSE_COLUMNS = [

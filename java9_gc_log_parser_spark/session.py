@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Constraint propagation is O(n^2) over the constraint set and blows
+        # up on filters above the staged parse cascade (48 s of pure driver
+        # optimization for the assembly plan; 0.4 s with it off). The only
+        # thing it buys is inferred IsNotNull/join filters -- all our joins
+        # are broadcast dim lookups, so the trade is strictly good here.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
