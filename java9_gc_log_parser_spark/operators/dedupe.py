@@ -96,10 +96,17 @@ def ngram_jaccard_pairs(
     )
     a = sh.alias("a")
     b = sh.alias("b")
+    # size-bound prune (exact-preserving): jaccard = |inter|/|union| <=
+    # min(|A|,|B|)/max(|A|,|B|), so any pair failing the size ratio cannot
+    # reach `threshold` — prune before the O(|A|+|B|) array_intersect runs.
+    size_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= (
+        F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+    )
     pairs = a.join(
         b,
         (F.col("a._blk") == F.col("b._blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_ok,
     )
     # one array traversal per pair: |A u B| = |A| + |B| - |A n B| since the
     # shingle arrays are distinct; _inter bound so intersect runs once
