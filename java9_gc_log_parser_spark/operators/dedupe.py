@@ -235,6 +235,12 @@ def minhash_lsh_pairs(
             ),
             "doc_b",
         )
+        # size-bound prune (exact-preserving, cf. ngram_jaccard_pairs):
+        # jaccard <= min/max sizes, so pairs failing the ratio cannot verify
+        .filter(
+            F.least("_sza", "_szb")
+            >= F.lit(threshold) * F.greatest("_sza", "_szb")
+        )
         .withColumn(
             "_inter", F.size(F.array_intersect("sh_a", "sh_b"))
         )
