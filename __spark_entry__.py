@@ -181,18 +181,42 @@ def q21_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.30)
 
 
-def q22_minhash_lsh(spark, sf_dir):
-    # xxhash64-based: not DuckDB-expressible -> rows-only driver check
-    from java9_gc_log_parser_spark.operators.dedupe import minhash_lsh_pairs
+# Oracle seam for the hash-based near-dup ops: xxhash64 itself is not
+# DuckDB-expressible, but everything downstream of the signatures IS. Each
+# query materializes its Spark-computed signature table to parquet and then
+# derives its own result FROM that artifact; the DuckDB oracle reads the same
+# parquet and independently re-runs banding, bucket capping, candidate
+# generation, Hamming verification and (for MinHash) the exact shingle-set
+# Jaccard verification from the raw documents view. The export is written
+# synchronously when the query callable runs — i.e. before the driver's
+# oracle executes for that query.
+_ORACLE_EXPORT_DIR = "/tmp/gclp_oracle"
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+def q22_minhash_lsh(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        lsh_buckets,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = f"{_ORACLE_EXPORT_DIR}/minhash_buckets.parquet"
+    lsh_buckets(docs).write.mode("overwrite").parquet(out)
+    return minhash_lsh_pairs(
+        docs, threshold=0.4, buckets=spark.read.parquet(out)
+    )
 
 
 def q23_simhash_pairs(spark, sf_dir):
-    # xxhash64-based: rows-only driver check
-    from java9_gc_log_parser_spark.operators.dedupe import simhash_pairs
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        simhash_pairs,
+        with_simhash,
+    )
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+    docs = _docs(spark, sf_dir)
+    out = f"{_ORACLE_EXPORT_DIR}/simhash_sig.parquet"
+    with_simhash(docs).select("doc_id", "sim").write.mode("overwrite").parquet(out)
+    return simhash_pairs(docs, max_hamming=10, sig=spark.read.parquet(out))
 
 
 def q24_multimodal_features(spark, sf_dir):
@@ -500,11 +524,79 @@ SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM (
 ) WHERE rk <= 5
 """,
         "q21_embedding_near_dup": _EMB + f"""
+, eb AS (
+  SELECT *,
+    (CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM e
+)
 SELECT vec_a, vec_b, cos FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_COS.format(a="a.emb", b="b.emb")} AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) WHERE cos >= 0.30
+""",
+        "q22_minhash_lsh": """
+WITH b AS (
+  SELECT * FROM read_parquet('/tmp/gclp_oracle/minhash_buckets.parquet/*.parquet')
+),
+sized AS (
+  SELECT doc_id, band_id, band_hash,
+         COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bucket_n
+  FROM b
+),
+flt AS (SELECT * FROM sized WHERE bucket_n > 1 AND bucket_n <= 1000),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM flt l JOIN flt r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+),
+dtok2 AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+),
+dsh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ltoks) >= 3
+      THEN list_transform(range(1, len(ltoks) - 1),
+                          i -> array_to_string(list_slice(ltoks, i, i + 2), ' '))
+      ELSE [array_to_string(ltoks, ' ')] END) AS sh
+  FROM dtok2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+    ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh)))
+      ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN dsh a ON c.doc_a = a.doc_id
+  JOIN dsh b ON c.doc_b = b.doc_id
+) WHERE jaccard >= 0.4
+""",
+        "q23_simhash_pairs": """
+WITH s AS (
+  SELECT doc_id, sim FROM read_parquet('/tmp/gclp_oracle/simhash_sig.parquet/*.parquet')
+),
+bands AS (
+  SELECT doc_id, sim, band_id,
+         (sim >> (band_id * 16)) & 65535 AS band_val
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.sim AS sim_a, r.sim AS sim_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 10
 """,
         "q24_multimodal_features": """
 SELECT doc_id AS asset_id,

@@ -90,12 +90,38 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs sharing a blocking key.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    Blocking is the compound key ``(block_col, log2-size-bucket)`` — NOT
+    block_col alone. The size-ratio prune already implies a passing pair's
+    shingle-set sizes differ by at most 1/threshold, so bucketing on
+    floor(log2(|sh|)) and probing only buckets within
+    w = ceil(log2(1/threshold)) of a doc's own bucket is *exact-preserving*
+    while bounding block cardinality by the length distribution instead of
+    the corpus size: with block_col alone the within-block self-join is
+    O(B^2) with B growing linearly in data volume. The bucket is computed
+    from the integer bit length (``conv`` base 2), not float ``log2``, so
+    boundary rounding can never move a doc across a bucket edge.
+
+    One equi-join on (block, bucket) keys: the probe side keeps its own
+    bucket; the build side is exploded to buckets [b-w, b+w] (2w+1 rows,
+    w=1 at the default threshold 0.5) so every passing pair meets on exactly
+    one key regardless of doc_id order.
     """
+    import math
+
+    w = 0 if threshold >= 1.0 else max(1, math.ceil(math.log2(1.0 / threshold)))
     sh = with_shingles(docs, n).select(
         "doc_id", F.col(block_col).alias("_blk"), "sh", F.size("sh").alias("sz")
+    ).withColumn(
+        # floor(log2(sz)) as an exact integer: bit_length - 1 (sz >= 1 always)
+        "_lb",
+        (F.length(F.conv(F.col("sz").cast("string"), 10, 2)) - 1).cast("int"),
     )
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.select(
+        "doc_id", "_blk", "sh", "sz",
+        F.explode(F.sequence(F.col("_lb") - w, F.col("_lb") + w)).alias("_key"),
+    ).alias("b")
     # size-bound prune (exact-preserving): jaccard = |inter|/|union| <=
     # min(|A|,|B|)/max(|A|,|B|), so any pair failing the size ratio cannot
     # reach `threshold` — prune before the O(|A|+|B|) array_intersect runs.
@@ -105,6 +131,7 @@ def ngram_jaccard_pairs(
     pairs = a.join(
         b,
         (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a._lb") == F.col("b._key"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & size_ok,
     )
@@ -186,18 +213,45 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     max_bucket: int = 1000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets, exact-verified at `threshold`.
 
     Buckets larger than max_bucket (degenerate content) are dropped to bound
     the quadratic pair blow-up; at scale, report them via lsh_buckets stats.
-    The bucket table is repartitioned on its join key before the self-join so
-    both sides reuse one shuffle (ReusedExchange) instead of recomputing the
-    shingle->signature pipeline twice.
+
+    ``buckets`` optionally injects a precomputed ``lsh_buckets`` table (e.g.
+    materialized to parquet so an external oracle can re-verify the banding
+    logic); when None, the shingle -> signature pipeline runs ONCE below a
+    shared hash(doc_id) exchange — the band-explode path and the two
+    verification joins all read that exchange via ReusedExchange instead of
+    recomputing shingles per consumer.
     """
-    b = lsh_buckets(docs, k, bands, shingle_n).repartition(
-        "band_id", "band_hash"
+    sig = (
+        with_shingles(docs, shingle_n)
+        .select("doc_id", "sh", F.size("sh").alias("sz"))
+        .withColumn("_sig", minhash_signature(F.col("sh"), k))
+        .repartition("doc_id")
     )
+    if buckets is None:
+        rr = k // bands
+        buckets = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bd).alias("band_id"),
+                            F.xxhash64(F.slice("_sig", bd * rr + 1, rr)).alias(
+                                "band_hash"
+                            ),
+                        )
+                        for bd in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_hash")
+    b = buckets.repartition("band_id", "band_hash")
     sized = b.withColumn(
         "bucket_n",
         F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash")),
@@ -213,11 +267,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = (
-        with_shingles(docs, shingle_n)
-        .select("doc_id", "sh", F.size("sh").alias("sz"))
-        .repartition("doc_id")
-    )
+    sh = sig.select("doc_id", "sh", "sz")
     verified = (
         cand.join(
             sh.select(
@@ -299,12 +349,19 @@ def with_simhash(docs: DataFrame, out: str = "sim") -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 8, sig: DataFrame | None = None
+) -> DataFrame:
     """Near-dup candidates by banded SimHash: 4 bands of 16 bits; a pair
     sharing any band is a candidate; verified by exact Hamming distance.
     Bands are repartitioned on the join key so the self-join reuses one
-    shuffle instead of recomputing signatures per side."""
-    sig = with_simhash(docs).select("doc_id", "sim")
+    shuffle instead of recomputing signatures per side.
+
+    ``sig`` optionally injects a precomputed (doc_id, sim) signature table
+    (e.g. materialized to parquet so an external oracle can re-verify the
+    banding + Hamming logic over the exact signatures used here)."""
+    if sig is None:
+        sig = with_simhash(docs).select("doc_id", "sim")
     bands = sig.select(
         "doc_id",
         "sim",
@@ -340,7 +397,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

@@ -46,6 +46,14 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(da, db) / (_norm(da) * _norm(db) + F.lit(EPS))
 
 
+def _with_norm(embeddings: DataFrame) -> DataFrame:
+    """Bind the double-cast vector and its L2 norm as real columns so each is
+    computed once per row (see dedupe's expression-shape note)."""
+    return embeddings.withColumn(
+        "_emb", _as_double(F.col("embedding"))
+    ).withColumn("_nrm", _norm(F.col("_emb")))
+
+
 def ann_topk_bruteforce(
     embeddings: DataFrame,
     query_pred: Column | None = None,
@@ -60,15 +68,30 @@ def ann_topk_bruteforce(
 
     if query_pred is None:
         query_pred = F.col("vec_id") % 101 == 0
-    q = embeddings.filter(query_pred).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # norms bound once per ROW (not once per pair): the pair expression is
+    # dot/(norm_a*norm_b + EPS) — float-identical to cosine(), but the two
+    # O(dim) norm traversals move out of the O(n*q) pair loop.
+    e = _with_norm(embeddings)
+    q = e.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_emb").alias("q_emb"),
+        F.col("_nrm").alias("q_nrm"),
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_emb").alias("c_emb"),
+        F.col("_nrm").alias("c_nrm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm") + F.lit(EPS)),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -105,15 +128,19 @@ def ann_topk_lsh(
 
     if query_pred is None:
         query_pred = F.col("vec_id") % 101 == 0
-    withb = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), dims))
+    withb = _with_norm(embeddings).withColumn(
+        "bucket", sign_bucket(F.col("embedding"), dims)
+    )
     q = withb.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("_emb").alias("q_emb"),
+        F.col("_nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
     c = withb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
+        F.col("_emb").alias("c_emb"),
+        F.col("_nrm").alias("c_nrm"),
         F.col("bucket").alias("c_bucket"),
     )
     scored = (
@@ -122,7 +149,14 @@ def ann_topk_lsh(
             (F.col("q_bucket") == F.col("c_bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm") + F.lit(EPS)),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -135,20 +169,42 @@ def ann_topk_lsh(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.92, block_col: str = "label"
+    embeddings: DataFrame,
+    threshold: float = 0.92,
+    block_col: str | None = None,
+    dims: tuple[int, ...] = (1, 2, 3, 4),
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= threshold within a blocking key.
 
-    Blocking (label here; a coarse LSH bucket at scale) keeps the join from
-    being all-pairs."""
-    e = embeddings.select("vec_id", "embedding", F.col(block_col).alias("_blk"))
+    Default blocking is the deterministic sign-LSH bucket (``sign_bucket``):
+    block cardinality is 2^len(dims) with sizes set by the DATA's sign
+    distribution, not by an attribute whose block sizes grow linearly with
+    corpus size (an all-pairs join within a label block is quadratic at
+    scale). The trade is explicit recall loss — a near-dup pair split across
+    buckets is missed; measured recall vs the exact all-pairs ground truth is
+    asserted in tests/test_similarity.py. Pass ``block_col`` for exact
+    attribute blocking when block sizes are known-bounded.
+    """
+    e = _with_norm(embeddings).select(
+        "vec_id",
+        "_emb",
+        "_nrm",
+        (
+            F.col(block_col) if block_col is not None
+            else sign_bucket(F.col("embedding"), dims)
+        ).alias("_blk"),
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
         (F.col("a._blk") == F.col("b._blk"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    cos = F.round(
+        _dot(F.col("a._emb"), F.col("b._emb"))
+        / (F.col("a._nrm") * F.col("b._nrm") + F.lit(EPS)),
+        6,
+    )
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
