@@ -65,6 +65,12 @@ def _dur_ms(i: Column, f: Column, unit: Column) -> Column:
 def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the wide parse-struct columns to ``df`` (staged cascade; see
     module expression-shape note). Codegen fuses all stages into one span."""
+    clash = [c for c in df.columns if c.startswith("_")]
+    if clash:
+        raise ValueError(
+            f"input carries underscore-prefixed column(s) {clash}, reserved "
+            "for the staged parse cascade's intermediates; rename them"
+        )
     text = F.col(text_col)
 
     # --- stage 1: header groups, one matcher run per group ------------------

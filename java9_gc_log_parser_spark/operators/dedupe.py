@@ -41,6 +41,16 @@ from .text_analysis import tokens_col
 _LONG_MAX = (1 << 63) - 1
 
 
+def assert_no_staging(df: DataFrame, *names: str) -> None:
+    """Refuse inputs that already carry a reserved staging column: the staged
+    expression-binding pattern would silently overwrite and destroy it."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"input carries reserved staging column(s) {clash}; rename them"
+        )
+
+
 def with_shingles(docs: DataFrame, n: int = 3, out: str = "sh") -> DataFrame:
     """Add a distinct word-n-gram shingle column (tokens bound first so the
     tokenizer runs once per row, not once per shingle position).
@@ -48,6 +58,7 @@ def with_shingles(docs: DataFrame, n: int = 3, out: str = "sh") -> DataFrame:
     len(tokens) < n -> the full token string as a single shingle (so short
     docs still dedupe).
     """
+    assert_no_staging(docs, "_toks", out)
     toks = F.col("_toks")
     k = F.size(toks)
     grams = F.transform(
@@ -341,6 +352,7 @@ def simhash64(hashes: Column) -> Column:
 
 def with_simhash(docs: DataFrame, out: str = "sim") -> DataFrame:
     """Add the 64-bit SimHash column (tokens + hashes bound once per row)."""
+    assert_no_staging(docs, "_toks", "_hashes", out)
     return (
         docs.withColumn("_toks", F.array_distinct(tokens_col(F.lower(F.col("text")))))
         .withColumn("_hashes", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))

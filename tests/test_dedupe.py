@@ -1,0 +1,215 @@
+"""Unit tests for operators/dedupe.py: known-answer fixtures, blocking
+exactness, and the LSH recall-vs-exact property (table-driven, mirroring the
+reference's parser test style, GcLineParserTest.scala:14-79)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from java9_gc_log_parser_spark.operators.dedupe import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_shingles,
+    with_simhash,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _py_shingles(text: str, n: int) -> frozenset:
+    """Python ground truth mirroring with_shingles exactly."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        return frozenset({" ".join(toks)})
+    return frozenset(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+
+
+def _py_jaccard(a: frozenset, b: frozenset) -> float:
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+# ---------------------------------------------------------------------------
+# with_shingles
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "text,n,expected",
+    [
+        ("a b c d", 3, {"a b c", "b c d"}),
+        ("a b", 3, {"a b"}),  # shorter than n -> whole text
+        ("", 3, {""}),  # empty doc still emits one shingle
+        ("A b a B", 1, {"a", "b"}),  # lowercased + distinct
+        ("x  y", 2, {"x y"}),  # multi-space collapse via \s+ split
+    ],
+)
+def test_with_shingles_known(spark, text, n, expected):
+    df = _docs(spark, [(1, "s", text)])
+    [row] = with_shingles(df, n=n).select("sh").collect()
+    assert set(row.sh) == expected
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_known_pair(spark):
+    df = _docs(
+        spark,
+        [(1, "s", "the cat sat"), (2, "s", "the cat sat"), (3, "s", "dog runs")],
+    )
+    rows = ngram_jaccard_pairs(df, n=1, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_adjacent_length_buckets(spark):
+    # sizes 3 vs 6 sit in different log2 buckets (2 vs 3) at exactly the
+    # threshold ratio 0.5 — the +/-w bucket explode must still find the pair,
+    # in BOTH doc_id orders (small-doc-first and big-doc-first).
+    df = _docs(
+        spark,
+        [
+            (1, "s", "a b c d e f"),  # 6 shingles (n=1)
+            (2, "s", "a b c"),  # 3 shingles, jaccard 3/6 = 0.5
+            (10, "t", "p q r"),
+            (11, "t", "p q r s t u"),
+        ],
+    )
+    rows = ngram_jaccard_pairs(df, n=1, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert got == {(1, 2): 0.5, (10, 11): 0.5}
+
+
+def test_ngram_jaccard_blocking_is_exact(spark):
+    # property: the compound (source, length-bucket) blocking returns exactly
+    # the brute-force pairs within each source at the threshold.
+    rows = []
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for i in range(24):
+        k = 1 + (i * 7) % 10  # lengths 1..10 -> multiple log2 buckets
+        toks = [words[(i + j) % 10] for j in range(k)]
+        rows.append((i, f"src{i % 2}", " ".join(toks)))
+    df = _docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.5).collect()
+    }
+    sh = {i: _py_shingles(t, 1) for i, _, t in rows}
+    src = {i: s for i, s, _ in rows}
+    want = {}
+    for a, b in itertools.combinations(range(24), 2):
+        if src[a] != src[b]:
+            continue
+        j = round(_py_jaccard(sh[a], sh[b]), 6)
+        if j >= 0.5:
+            want[(a, b)] = j
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a silver moon near the old stone bridge"
+)
+
+
+def _near_dup_corpus():
+    """10 base docs + a perturbed clone each (high 3-gram jaccard) + noise."""
+    rows = []
+    base_words = BASE.split()
+    for i in range(10):
+        words = [f"{w}{i}" if j % 5 == 0 else w for j, w in enumerate(base_words)]
+        rows.append((i * 2, "s", " ".join(words)))
+        clone = list(words)
+        clone[3] = "changed"  # one-word edit -> jaccard stays high
+        rows.append((i * 2 + 1, "s", " ".join(clone)))
+    for i in range(10):
+        rows.append((100 + i, "s", f"totally unrelated text number {i} about topic{i}"))
+    return rows
+
+
+def test_minhash_identical_docs_pair(spark):
+    df = _docs(spark, [(1, "s", BASE), (2, "s", BASE), (3, "s", "other words here")])
+    rows = minhash_lsh_pairs(df, threshold=0.6).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_recall_and_precision_vs_exact(spark):
+    rows = _near_dup_corpus()
+    df = _docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    sh = {i: _py_shingles(t, 3) for i, _, t in rows}
+    exact = {
+        (a, b): round(_py_jaccard(sh[a], sh[b]), 6)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if _py_jaccard(sh[a], sh[b]) >= 0.5
+    }
+    # precision is EXACT: verification computes true jaccard, so every
+    # returned pair must be a true pair with the true score
+    for pair, j in got.items():
+        assert pair in exact and exact[pair] == j, pair
+    # recall: a one-word edit on a 24-word doc gives 3-gram jaccard ~0.76;
+    # banding (8 bands of 4) catches such a pair with p ~ 1-(1-0.76^4)^8 ~ 0.96
+    high = {p for p, j in exact.items() if j >= 0.7}
+    assert len(high) >= 10
+    recall = len(high & set(got)) / len(high)
+    assert recall >= 0.7, f"LSH recall {recall} over {len(high)} true pairs"
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = _docs(spark, [(1, "s", BASE), (2, "s", BASE)])
+    rows = simhash_pairs(df, max_hamming=8).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_simhash_signature_deterministic(spark):
+    df = _docs(spark, [(1, "s", BASE)])
+    s1 = with_simhash(df).select("sim").collect()[0].sim
+    s2 = with_simhash(df).select("sim").collect()[0].sim
+    assert s1 == s2
+    # word order must not change the signature (bag-of-words hashes)
+    df2 = _docs(spark, [(1, "s", " ".join(reversed(BASE.split())))])
+    assert with_simhash(df2).select("sim").collect()[0].sim == s1
+
+
+def test_simhash_near_dups_found_unrelated_excluded(spark):
+    rows = _near_dup_corpus()
+    df = _docs(spark, rows)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df, max_hamming=10).collect()}
+    # every one-word-edit clone pair is near in Hamming space
+    found_clones = sum(1 for i in range(10) if (2 * i, 2 * i + 1) in got)
+    assert found_clones >= 8
+    # hamming values bounded as filtered
+    assert all(0 <= h <= 10 for h in got.values())
+
+
+def test_simhash_pairs_accepts_injected_signatures(spark):
+    df = _docs(spark, [(1, "s", BASE), (2, "s", BASE)])
+    sig = with_simhash(df).select("doc_id", "sim")
+    rows = simhash_pairs(df, max_hamming=8, sig=sig).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_staging_columns_rejected_on_input(spark):
+    # inputs carrying reserved staging names must not be silently destroyed
+    df = _docs(spark, [(1, "s", "a b c")]).withColumn("_toks", F.lit("x"))
+    with pytest.raises(ValueError, match="_toks"):
+        with_shingles(df, 3)

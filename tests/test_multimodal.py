@@ -1,0 +1,60 @@
+"""Unit tests for operators/multimodal.py — Arrow plumbing, batch shapes,
+deterministic stub decode, and frame-sampling arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+from java9_gc_log_parser_spark.operators.multimodal import (
+    decode_and_featurize,
+    documents_as_assets,
+    frame_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_documents_as_assets_modality_and_bytes(spark):
+    df = _docs(spark, [(0, "s", "aa"), (1, "s", "bbb"), (2, "s", "cccc")])
+    rows = {r.asset_id: r for r in documents_as_assets(df).collect()}
+    assert rows[0].modality == "image"
+    assert rows[1].modality == "audio"
+    assert rows[2].modality == "video"
+    assert bytes(rows[2].content) == b"cccc"
+
+
+def test_decode_stub_metadata_deterministic(spark):
+    text = "hello world"  # 11 bytes
+    df = _docs(spark, [(3, "s", text)])  # 3 % 3 == 0 -> image
+    [r] = decode_and_featurize(documents_as_assets(df)).collect()
+    n = len(text.encode())
+    assert (r.n_bytes, r.width, r.height, r.n_frames) == (
+        n, 64 + n % 512, 64 + (n * 7) % 512, 1,
+    )
+    # feature = byte-histogram over mod-8 classes, normalized, 8-dim float
+    assert len(r.feature) == 8
+    assert abs(sum(r.feature) - 1.0) < 1e-5
+
+
+def test_decode_empty_payload(spark):
+    df = _docs(spark, [(3, "s", "")])
+    [r] = decode_and_featurize(documents_as_assets(df)).collect()
+    assert r.n_bytes == 0
+    assert r.feature == [0.0] * 8
+
+
+def test_frame_sample_counts(spark):
+    df = _docs(spark, [(2, "s", "x" * 100), (5, "s", "y" * 10)])  # both video
+    feats = decode_and_featurize(documents_as_assets(df))
+    n_frames = {r.asset_id: r.n_frames for r in feats.collect()}
+    rows = frame_sample(feats, every_n=30).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+    for aid, idxs in by_asset.items():
+        want = list(range(0, n_frames[aid], 30))
+        assert sorted(idxs) == want, aid
+    assert set(by_asset) == {2, 5}
+    assert len(by_asset[2]) == math.ceil(n_frames[2] / 30)

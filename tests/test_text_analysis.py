@@ -1,0 +1,97 @@
+"""Unit tests for operators/text_analysis.py — table-driven known answers
+(reference test style: GcLineParserTest.scala:14-79)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from java9_gc_log_parser_spark.operators.text_analysis import (
+    dedup_exact,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+@pytest.mark.parametrize(
+    "text,n_tokens,n_unique,mean_len",
+    [
+        ("the cat the", 3, 2, 3.0),
+        ("", 0, 0, 0.0),
+        ("   ", 0, 0, 0.0),  # blank == empty
+        ("ab  cd", 2, 2, 2.0),  # multi-space split
+        ("x xyz", 2, 2, 2.0),  # (1+3)/2
+    ],
+)
+def test_token_stats_known(spark, text, n_tokens, n_unique, mean_len):
+    [r] = token_stats(_docs(spark, [(1, "s", text)])).collect()
+    assert (r.n_tokens, r.n_unique_tokens, r.mean_token_len) == (
+        n_tokens, n_unique, mean_len,
+    )
+
+
+def test_quality_score_formula(spark):
+    text = "the cat"  # 7 chars, 6 alpha; 2 tokens, 1 stopword
+    [r] = quality_score(_docs(spark, [(1, "s", text)])).collect()
+    alpha = 6 / 7
+    stop = 1 / 2
+    want = 0.5 * alpha + 0.3 * (1 - stop) + 0.2 * min(1.0, 7 / 200)
+    assert r.alpha_ratio == round(alpha, 6)
+    assert r.stopword_ratio == 0.5
+    assert abs(r.quality_score - want) < 1e-6
+
+
+def test_quality_score_empty_doc(spark):
+    [r] = quality_score(_docs(spark, [(1, "s", "")])).collect()
+    assert (r.alpha_ratio, r.stopword_ratio) == (0.0, 0.0)
+    assert abs(r.quality_score - 0.3) < 1e-9  # only the (1 - stop) term
+
+
+@pytest.mark.parametrize(
+    "text,pred",
+    [
+        ("the fast dog", "en"),
+        ("le chien vite", "fr"),
+        ("el perro y rapido", "es"),
+        ("der hund und die katze schnell", "de"),
+        ("nothing matches here", "unknown"),
+        ("", "unknown"),
+        # 'la' is an fr AND es marker; tie-break is lang asc -> 'es'
+        ("la la", "es"),
+    ],
+)
+def test_lang_id_known(spark, text, pred):
+    [r] = lang_id(_docs(spark, [(1, "s", text)])).collect()
+    assert r.pred_lang == pred
+
+
+def test_fingerprint_bag_invariance(spark):
+    df = _docs(spark, [(1, "s", "beta alpha"), (2, "s", "alpha  beta")])
+    rows = {r.doc_id: r for r in fingerprint(df).collect()}
+    assert rows[1].bag_fingerprint == rows[2].bag_fingerprint
+    assert rows[1].text_md5 != rows[2].text_md5
+    assert rows[1].text_md5 == hashlib.md5(b"beta alpha").hexdigest()
+    assert rows[1].bag_fingerprint == hashlib.md5(b"alpha beta").hexdigest()
+
+
+def test_dedup_exact_normalization(spark):
+    df = _docs(
+        spark,
+        [
+            (5, "s", "Hello  world"),
+            (3, "s", "hello world"),
+            (9, "s", "  hello   WORLD "),  # NB trim strips spaces only
+            (7, "s", "different"),
+        ],
+    )
+    rows = sorted(dedup_exact(df).collect(), key=lambda r: -r.n_docs)
+    assert (rows[0].n_docs, rows[0].canonical_doc_id) == (3, 3)
+    assert (rows[1].n_docs, rows[1].canonical_doc_id) == (1, 7)
+    assert rows[0].text_hash == hashlib.md5(b"hello world").hexdigest()
