@@ -219,6 +219,79 @@ def q23_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=10, sig=spark.read.parquet(out))
 
 
+# --- streaming / checkpoint / serialization parity (reference live mode) ---
+
+_INPUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+_ASSEMBLED_COLS = [
+    "conv_id", "event_id", "pause_type", "reason", "offset_ms", "duration_ms",
+    "heap_before", "heap_after", "heap_total",
+    "eden_after", "survivor_after", "old_after", "humongous_after",
+]
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/gclp_scratch/{name}_{tag}"
+
+
+def q26_stream_assembled(spark, sf_dir):
+    """Streaming assembler (applyInPandasWithState) drained with availableNow
+    over a file-scattered copy of the same transcripts; its ok-rows must equal
+    the batch assembly — oracled against the SAME easm SQL as q06 (capability
+    parity for the reference's live mode, GcLogStream.scala:45-51)."""
+    import shutil
+
+    from java9_gc_log_parser_spark.streaming.assembler import stream_assembled
+
+    root = _scratch(sf_dir, "q26")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    # round-robin scatter: one event's lines spread across many files, so
+    # micro-batches deliver them out of order across triggers
+    synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
+    q = (
+        stream_assembled(spark, src, _INPUT_SCHEMA)
+        .filter(F.col("verdict") == "ok")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(outp).select(*_ASSEMBLED_COLS)
+
+
+def q27_checkpoint_resume(spark, sf_dir):
+    """Checkpointed micro-batch runner: partition-pruned batches, simulated
+    crash after 2 of 4, resume, then the re-read assembled sink must equal
+    the single-shot batch pipeline (oracled against q06's SQL + ts)."""
+    import shutil
+
+    from java9_gc_log_parser_spark.plans import checkpoint as cp
+
+    root = _scratch(sf_dir, "q27")
+    shutil.rmtree(root, ignore_errors=True)
+    src, out = f"{root}/src", f"{root}/out"
+    cp.prepare_source(spark, synth_transcripts(spark, sf_dir), src, n_batches=4)
+    cp.run(spark, src, out, n_batches=4, stop_after=2)  # "crash" mid-run
+    cp.run(spark, src, out, n_batches=4)  # resume the remaining batches
+    return cp.read_sink(spark, out, "assembled").select(*_ASSEMBLED_COLS, "ts")
+
+
+def q28_conv_state_json(spark, sf_dir):
+    """GcState JSON serialization parity (GcStateJson.scala:7-12): the SSE
+    payload shape, byte-compared against DuckDB's to_json of the same state."""
+    from java9_gc_log_parser_spark.operators.aggregate import conv_state_json
+
+    return conv_state_json(conv_state_final(_assembled(spark, sf_dir)))
+
+
 def q24_multimodal_features(spark, sf_dir):
     from java9_gc_log_parser_spark.operators.multimodal import (
         decode_and_featurize,
@@ -354,6 +427,33 @@ SELECT conv_id,
 FROM easm WHERE verdict = 'ok'
 GROUP BY conv_id
 """,
+    # GcState JSON parity: DuckDB's to_json(struct_pack(...)) emits the same
+    # compact {"k":v} shape as Spark's to_json — byte-compared
+    "q28_conv_state_json": O.with_ctes() + f"""
+SELECT conv_id, to_json(struct_pack(
+    timeOffset := struct_pack(millis := CAST(time_offset_ms AS BIGINT)),
+    fullGcs := full_gcs, youngGcs := young_gcs,
+    initialMarks := initial_marks, remarks := remarks, mixed := mixed,
+    cleanups := cleanups,
+    heapSize := struct_pack(size := CAST(heap_size AS BIGINT),
+                            total := CAST(heap_total AS BIGINT)),
+    generationSizes := struct_pack(
+        eden := CAST(eden_after AS BIGINT),
+        survivor := CAST(survivor_after AS BIGINT),
+        old := CAST(old_after AS BIGINT),
+        humongous := CAST(humongous_after AS BIGINT))
+)) AS state_json
+FROM (
+SELECT conv_id,
+  {_COUNTER_SQL},
+  MAX(offset_ms) AS time_offset_ms,
+  arg_max(heap_after, offset_ms) AS heap_size,
+  arg_max(heap_total, offset_ms) AS heap_total,
+  {_GEN_FINAL_SQL}
+FROM easm WHERE verdict = 'ok'
+GROUP BY conv_id
+)
+""",
     "q09_conv_state_scan": O.with_ctes() + f"""
 SELECT conv_id, event_id, offset_ms AS time_offset_ms,
   {_COUNTER_WIN_SQL},
@@ -380,6 +480,21 @@ SELECT CAST(FLOOR(duration_ms / 10.0) AS BIGINT) AS dur_bucket,
        CAST(COUNT(*) AS BIGINT) AS pause_count
 FROM easm WHERE verdict = 'ok'
 GROUP BY CAST(FLOOR(duration_ms / 10.0) AS BIGINT)
+""",
+    # streaming drain == batch assembly: same easm oracle as q06, minus ts
+    # (the streaming assembler's output schema carries no timestamp)
+    "q26_stream_assembled": O.with_ctes() + """
+SELECT conv_id, event_id, pause_type, reason, offset_ms, duration_ms,
+       heap_before, heap_after, heap_total,
+       eden_after, survivor_after, old_after, humongous_after
+FROM easm WHERE verdict = 'ok'
+""",
+    # crash+resume checkpointed sinks == single-shot batch (q06's oracle)
+    "q27_checkpoint_resume": O.with_ctes() + """
+SELECT conv_id, event_id, pause_type, reason, offset_ms, duration_ms,
+       heap_before, heap_after, heap_total,
+       eden_after, survivor_after, old_after, humongous_after, ts
+FROM easm WHERE verdict = 'ok'
 """,
 }
 
@@ -654,6 +769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_simhash_pairs": q23_simhash_pairs,
         "q24_multimodal_features": q24_multimodal_features,
         "q25_frame_sample": q25_frame_sample,
+        "q26_stream_assembled": q26_stream_assembled,
+        "q27_checkpoint_resume": q27_checkpoint_resume,
+        "q28_conv_state_json": q28_conv_state_json,
     }
 
 

@@ -116,6 +116,37 @@ def conv_state_final(assembled: DataFrame, n_salts: int = 16) -> DataFrame:
     return out
 
 
+def conv_state_json(conv_state: DataFrame) -> DataFrame:
+    """GcState JSON serialization parity (``GcStateJson.scala:7-12``): the
+    reference pushes each cumulative GcState over SSE as spray-json of the
+    case classes (``GcStateModel.scala:8-27``), whose field names and nesting
+    this struct mirrors exactly — {"timeOffset":{"millis":..},counters..,
+    "heapSize":{"size","total"},"generationSizes":{"eden","survivor","old",
+    "humongous"}}. ``to_json`` runs JVM-side (codegen, no Python)."""
+    st = F.struct(
+        F.struct(
+            F.col("time_offset_ms").cast("long").alias("millis")
+        ).alias("timeOffset"),
+        F.col("full_gcs").alias("fullGcs"),
+        F.col("young_gcs").alias("youngGcs"),
+        F.col("initial_marks").alias("initialMarks"),
+        F.col("remarks").alias("remarks"),
+        F.col("mixed").alias("mixed"),
+        F.col("cleanups").alias("cleanups"),
+        F.struct(
+            F.col("heap_size").cast("long").alias("size"),
+            F.col("heap_total").cast("long").alias("total"),
+        ).alias("heapSize"),
+        F.struct(
+            F.col("eden_after").cast("long").alias("eden"),
+            F.col("survivor_after").cast("long").alias("survivor"),
+            F.col("old_after").cast("long").alias("old"),
+            F.col("humongous_after").cast("long").alias("humongous"),
+        ).alias("generationSizes"),
+    )
+    return conv_state.select("conv_id", F.to_json(st).alias("state_json"))
+
+
 def bucket_turn_counts(transcripts: DataFrame, bucket: str = "hour") -> DataFrame:
     """G3a: turns per time bucket (map-side combinable; AQE handles skew)."""
     return (

@@ -75,10 +75,33 @@ def merge_states(prev: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
+def _current_batch_id(out_root: str) -> int | None:
+    """Last durably-applied batch id, from the atomic pointer file."""
+    ptr = os.path.join(out_root, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def _gen_dir(out_root: str, batch_id: int) -> str:
+    return os.path.join(out_root, "state_gens", f"batch={batch_id}")
+
+
+def current_state(spark: SparkSession, out_root: str) -> DataFrame | None:
+    """The cumulative state as of the last applied batch (None before any)."""
+    bid = _current_batch_id(out_root)
+    if bid is None:
+        return None
+    return spark.read.parquet(_gen_dir(out_root, bid))
+
+
 def final_state(spark: SparkSession, out_root: str) -> DataFrame:
     """The exposed cumulative state (merge internals dropped, nulls zeroed
     like ``GcState``'s zero-initialised generation sizes)."""
-    df = spark.read.parquet(os.path.join(out_root, "state"))
+    df = current_state(spark, out_root)
+    if df is None:
+        raise FileNotFoundError(f"no applied state under {out_root}")
     return df.select(
         "conv_id",
         *COUNTERS,
@@ -100,49 +123,72 @@ def stream_conv_state(
     """Start the snapshot stream; returns the StreamingQuery.
 
     Layout under ``out_root``:
-      state/                 current cumulative state (overwritten per batch)
+      state_gens/batch=N/    cumulative state generation after batch N
+      _CURRENT               atomic pointer: last durably-applied batch id
       snapshots/batch=N/     the state as of batch N (the SSE "event" feed)
-      metrics.jsonl          one heartbeat line per micro-batch
+      metrics.jsonl          one heartbeat line per micro-batch (batch-id
+                             deduped; replays append nothing)
     """
     assembled = stream_assembled(
         spark, source_path, input_schema,
         max_files_per_trigger=max_files_per_trigger,
     ).filter(F.col("verdict") == "ok")
 
-    state_dir = os.path.join(out_root, "state")
     os.makedirs(out_root, exist_ok=True)
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after failure recovery Spark replays
+        # the in-flight batch_id. Idempotence: each state generation is keyed
+        # by batch_id and exposed via an atomically-replaced pointer file, so
+        # a replayed batch_id <= last-applied is skipped (its effects are
+        # already durable), and a crash mid-write leaves the pointer at the
+        # previous complete generation — never a missing/partial state dir.
         t0 = time.perf_counter()
+        last = _current_batch_id(out_root)
+        if last is not None and batch_id <= last:
+            # skip the external side effects, but still drain the batch:
+            # Spark validates that foreachBatch processed every partition
+            # (upstream stateful operators must commit their state stores)
+            batch_df.count()
+            return
         b = batch_state(batch_df)
-        if os.path.exists(state_dir):
-            prev = spark.read.parquet(state_dir)
-            merged = merge_states(prev, b)
+        if last is not None:
+            merged = merge_states(spark.read.parquet(_gen_dir(out_root, last)), b)
         else:
             merged = b
-        # two-phase write: merged reads the *current* state dir lazily, so it
-        # must be materialized to a staging dir before that dir is replaced
-        tmp = state_dir + "_next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        staged = spark.read.parquet(tmp)
+        gen = _gen_dir(out_root, batch_id)
+        merged.coalesce(1).write.mode("overwrite").parquet(gen)
+        staged = spark.read.parquet(gen)
         n_convs = staged.count()
         staged.write.mode("overwrite").parquet(
             os.path.join(out_root, "snapshots", f"batch={batch_id}")
         )
-        staged.write.mode("overwrite").parquet(state_dir)
         n_events = batch_df.count()
-        with open(os.path.join(out_root, "metrics.jsonl"), "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "batch_id": batch_id,
-                        "events": n_events,
-                        "convs": n_convs,
-                        "wall_s": round(time.perf_counter() - t0, 3),
-                    }
+        # metrics heartbeat, deduped by batch_id (replays re-append nothing)
+        mpath = os.path.join(out_root, "metrics.jsonl")
+        seen = set()
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                seen = {json.loads(line)["batch_id"] for line in f if line.strip()}
+        if batch_id not in seen:
+            with open(mpath, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "batch_id": batch_id,
+                            "events": n_events,
+                            "convs": n_convs,
+                            "wall_s": round(time.perf_counter() - t0, 3),
+                        }
+                    )
+                    + "\n"
                 )
-                + "\n"
-            )
+        # commit point: atomic pointer replace makes this generation current
+        ptr = os.path.join(out_root, "_CURRENT")
+        tmp = ptr + f".tmp{batch_id}"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, ptr)
 
     writer = (
         assembled.writeStream.foreachBatch(_emit)

@@ -107,3 +107,24 @@ def test_scan_is_per_conversation(spark):
     events = [_ev(0, "Young", 10, 50), _ev(1, "Young", 20, 55, conv="c2")]
     s = _scan(spark, events)
     assert s[0].young_gcs == 1 and s[1].young_gcs == 1  # independent convs
+
+
+def test_conv_state_json_reference_shape(spark):
+    """Exact spray-json byte shape of the reference's GcState
+    (GcStateJson.scala:7-12, GcStateModel.scala:8-27)."""
+    from java9_gc_log_parser_spark.operators.aggregate import conv_state_json
+
+    state = spark.createDataFrame(
+        [("c1", 1, 2, 3, 4, 5, 0, 170, 100, 200, 10, 11, 12, 13)],
+        "conv_id string, full_gcs long, young_gcs long, initial_marks long, "
+        "remarks long, mixed long, cleanups long, time_offset_ms long, "
+        "heap_size long, heap_total long, eden_after long, survivor_after "
+        "long, old_after long, humongous_after long",
+    )
+    [r] = conv_state_json(state).collect()
+    assert r.state_json == (
+        '{"timeOffset":{"millis":170},"fullGcs":1,"youngGcs":2,'
+        '"initialMarks":3,"remarks":4,"mixed":5,"cleanups":0,'
+        '"heapSize":{"size":100,"total":200},'
+        '"generationSizes":{"eden":10,"survivor":11,"old":12,"humongous":13}}'
+    )

@@ -76,3 +76,39 @@ def test_manifest_lineage_and_metrics(spark, source_path, tmp_path):
     # batches partition the input exactly
     total_in = sum(r["rows_in"] for r in recs)
     assert total_in == spark.read.parquet(source_path).count()
+
+
+def test_prepared_source_prunes_scans(spark, sf_dir, tmp_path):
+    """With a bucket-partitioned source each micro-batch scans ~1/n of the
+    data (manifest records the pruned file set), and results still equal the
+    single-shot pipeline."""
+    src = str(tmp_path / "psrc")
+    root = str(tmp_path / "pout")
+    n_batches = 4
+    cp.prepare_source(spark, synth_transcripts(spark, sf_dir), src, n_batches)
+
+    cp.run(spark, src, root, n_batches)
+    with open(os.path.join(root, "manifest.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == n_batches
+    total_bytes = sum(r["lineage"]["scan_bytes"] for r in recs)
+    for rec in recs:
+        assert rec["lineage"]["predicate"] == f"batch_bucket = {rec['batch_id']}"
+        # pruned scan: each batch reads well under half the total source
+        assert rec["lineage"]["scan_bytes"] < total_bytes / 2
+        assert rec["lineage"]["scan_files"] >= 1
+
+    # batches still partition the input exactly, and outputs match single-shot
+    total_in = sum(r["rows_in"] for r in recs)
+    plain = synth_transcripts(spark, sf_dir)
+    assert total_in == plain.count()
+    single = build(plain)
+    got = _collect_sorted(
+        cp.read_sink(spark, root, "assembled"),
+        ["conv_id", "event_id", "pause_type", "duration_ms"],
+    )
+    want = _collect_sorted(
+        single["assembled"], ["conv_id", "event_id", "pause_type", "duration_ms"]
+    )
+    assert got == want
+    single["parsed"].unpersist()

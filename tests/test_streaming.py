@@ -151,3 +151,42 @@ def test_stream_conv_state_matches_batch_final(spark, stream_source, tmp_path):
     assert {m["batch_id"] for m in metrics} == set(range(len(metrics)))
     snapshots = os.listdir(os.path.join(out_root, "snapshots"))
     assert len(snapshots) == len(metrics)
+
+
+def test_state_replay_idempotent_and_pointer_atomic(spark, stream_source, tmp_path):
+    """A replayed batch_id (at-least-once foreachBatch recovery) must not
+    double-count. Deleting the stream's OWN checkpoint while keeping the
+    state makes the re-run re-fire every batch id from 0 — the worst-case
+    replay — and every one must be skipped by the _CURRENT guard."""
+    import os
+    import shutil
+
+    from java9_gc_log_parser_spark.streaming.state_stream import (
+        _current_batch_id,
+        final_state,
+        stream_conv_state,
+    )
+
+    out_root = str(tmp_path / "state_replay")
+    q = stream_conv_state(spark, stream_source, INPUT_SCHEMA, out_root,
+                          max_files_per_trigger=16)
+    q.awaitTermination(300)
+
+    before = sorted(map(tuple, final_state(spark, out_root).collect()))
+    last = _current_batch_id(out_root)
+    assert last is not None and last >= 1
+    with open(os.path.join(out_root, "metrics.jsonl")) as f:
+        metrics_before = f.read()
+    gens_before = sorted(os.listdir(os.path.join(out_root, "state_gens")))
+
+    # lose the streaming engine's checkpoint, keep the applied state
+    shutil.rmtree(os.path.join(out_root, "ckpt"))
+    q2 = stream_conv_state(spark, stream_source, INPUT_SCHEMA, out_root,
+                           max_files_per_trigger=16)
+    q2.awaitTermination(300)
+
+    assert _current_batch_id(out_root) == last
+    assert sorted(map(tuple, final_state(spark, out_root).collect())) == before
+    with open(os.path.join(out_root, "metrics.jsonl")) as f:
+        assert f.read() == metrics_before  # heartbeat not duplicated
+    assert sorted(os.listdir(os.path.join(out_root, "state_gens"))) == gens_before
