@@ -116,11 +116,15 @@ def q12_duration_histogram(spark, sf_dir):
 # --- training-data ops over documents/embeddings (SURVEY target additions) --
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from java9_gc_log_parser_spark.storage import read_table
+
+    return read_table(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from java9_gc_log_parser_spark.storage import read_table
+
+    return read_table(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q13_dedup_exact(spark, sf_dir):

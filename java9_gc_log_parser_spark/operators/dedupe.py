@@ -231,12 +231,15 @@ def minhash_lsh_pairs(
     Buckets larger than max_bucket (degenerate content) are dropped to bound
     the quadratic pair blow-up; at scale, report them via lsh_buckets stats.
 
-    ``buckets`` optionally injects a precomputed ``lsh_buckets`` table (e.g.
-    materialized to parquet so an external oracle can re-verify the banding
-    logic); when None, the shingle -> signature pipeline runs ONCE below a
-    shared hash(doc_id) exchange — the band-explode path and the two
-    verification joins all read that exchange via ReusedExchange instead of
-    recomputing shingles per consumer.
+    ``buckets`` optionally injects a precomputed ``lsh_buckets`` table
+    (materialize the banding once — also lets an external oracle re-verify
+    the banding logic from the artifact); the shingle pipeline then runs
+    exactly once for the whole query. When None, AQE's runtime exchange
+    reuse (asserted in tests/test_plans.py) shares (a) the band-key shuffle
+    across the candidate self-join's two sides and (b) the hash(doc_id)
+    exchange across both verification joins, so shingling runs twice (band
+    subtree carries the signature; the verification subtree is pruned to
+    (sh, sz)) — never once per consumer.
     """
     sig = (
         with_shingles(docs, shingle_n)

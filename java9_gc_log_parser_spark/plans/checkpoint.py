@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..storage import TableRef, read_table, write_table
 from .pipeline import build
 
 SINKS = ("pause_events", "tool_calls", "dead_letter", "assembled", "conv_state")
@@ -80,16 +81,11 @@ def prepare_source(
     re-run/resume) scans exactly one partition directory. On a real cluster
     this is the Iceberg table's partition spec, written once at ingest.
     """
-    (
-        transcripts.withColumn(
-            "batch_bucket",
-            F.pmod(F.xxhash64("conv_id"), F.lit(n_batches)).cast("int"),
-        )
-        .repartition("batch_bucket")
-        .write.mode("overwrite")
-        .partitionBy("batch_bucket")
-        .parquet(path)
-    )
+    bucketed = transcripts.withColumn(
+        "batch_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_batches)).cast("int"),
+    ).repartition("batch_bucket")
+    write_table(bucketed, TableRef(path, partition_by=("batch_bucket",)))
     return path
 
 
@@ -115,8 +111,7 @@ def run_batch(
         # prepared source: partition-pruned scan — only this bucket's files
         predicate = f"batch_bucket = {batch_id}"
         transcripts = (
-            spark.read.option("basePath", source_path)
-            .parquet(source_path)
+            read_table(spark, source_path)
             .filter(F.col("batch_bucket") == batch_id)
             .drop("batch_bucket")
         )
@@ -124,7 +119,7 @@ def run_batch(
     else:
         # raw unpartitioned path: every batch re-scans the full source
         predicate = f"pmod(xxhash64(conv_id), {n_batches}) = {batch_id}"
-        transcripts = spark.read.parquet(source_path).filter(F.expr(predicate))
+        transcripts = read_table(spark, source_path).filter(F.expr(predicate))
         scan_files, scan_bytes = _dir_scan_stats(source_path)
     t0 = time.perf_counter()
     dfs = build(transcripts, persist=True)
@@ -133,8 +128,8 @@ def run_batch(
     for sink in SINKS:
         out = os.path.join(root, sink, f"batch={batch_id}")
         df: DataFrame = dfs[sink]
-        df.write.mode("overwrite").parquet(out)
-        sink_rows[sink] = spark.read.parquet(out).count()
+        write_table(df, out)
+        sink_rows[sink] = read_table(spark, out).count()
     dfs["parsed"].unpersist()
     wall = time.perf_counter() - t0
     rec = {
@@ -181,4 +176,4 @@ def run(
 
 
 def read_sink(spark: SparkSession, root: str, sink: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, sink))
+    return read_table(spark, os.path.join(root, sink))

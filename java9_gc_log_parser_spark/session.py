@@ -14,6 +14,19 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_driver_memory() -> str:
+    """Conservative default sized to the host: a quarter of physical RAM,
+    clamped to [2g, 24g]. Bench/production set SPARK_DRIVER_MEMORY explicitly
+    (a fixed 24g default fails JVM launch or swaps on smaller hosts)."""
+    try:
+        phys_gb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        ) // (1 << 30)
+    except (ValueError, OSError):  # pragma: no cover
+        phys_gb = 8
+    return f"{min(24, max(2, phys_gb // 4))}g"
+
+
 def get_spark(
     app_name: str = "gclp-pipeline",
     master: str | None = None,
@@ -46,7 +59,10 @@ def get_spark(
         # are broadcast dim lookups, so the trade is strictly good here.
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -159,7 +159,9 @@ def synth_transcripts(
     is unioned ``replicate`` times with shifted event_ids (new gc events, same
     distribution). Oracle checks always use replicate=1.
     """
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..storage import read_table
+
+    events = read_table(spark, f"{sf_dir}/events.parquet")
     if replicate > 1:
         n = events.count()
         from pyspark.sql import functions as F

@@ -122,25 +122,31 @@ def _make_assemble_fn(timeout_ms: int | None):
             yield emit(verdict)
             return
 
+        # vectorized fold: per event-class the merge is "last in turn order
+        # wins", so boolean masks + groupby-last replace any per-row loop
+        # (groups are small, but the module standard is no row-at-a-time)
         for pdf in pdfs:
             pdf = pdf.sort_values("turn_idx")
-            for row in pdf.itertuples(index=False):
-                ec = row.event_class
-                if ec == "pause_start":
-                    has_start = True
-                elif ec == "nr_regions":
-                    regions[row.region] = int(row.region_after)
-                elif ec == "pause_end":
-                    has_end = True
-                    p_type = row.pause_type
-                    p_reason = row.reason
-                    p_off = int(row.offset_ms)
-                    p_dur = float(row.duration_ms)
-                    p_hb, p_ha, p_ht = (
-                        int(row.heap_before),
-                        int(row.heap_after),
-                        int(row.heap_total),
-                    )
+            ec = pdf["event_class"]
+            has_start = has_start or bool((ec == "pause_start").any())
+            nr = pdf.loc[ec == "nr_regions", ["region", "region_after"]]
+            if len(nr):
+                last_per_region = nr.groupby("region")["region_after"].last()
+                for rname, rafter in last_per_region.items():
+                    regions[rname] = int(rafter)
+            ends = pdf.loc[ec == "pause_end"]
+            if len(ends):
+                has_end = True
+                end = ends.iloc[-1]
+                p_type = end["pause_type"]
+                p_reason = end["reason"]
+                p_off = int(end["offset_ms"])
+                p_dur = float(end["duration_ms"])
+                p_hb, p_ha, p_ht = (
+                    int(end["heap_before"]),
+                    int(end["heap_after"]),
+                    int(end["heap_total"]),
+                )
 
         complete = (
             has_end

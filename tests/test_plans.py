@@ -105,3 +105,37 @@ def test_sink_plans_have_no_cartesian_or_nested_loop(spark, sf_dir, sink):
     plan = _formatted(dfs[sink])
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_runtime_reuses_shared_exchanges(spark):
+    """The shingle->signature pipeline sits below shared exchanges: at
+    runtime AQE must reuse (a) the band-key shuffle across the candidate
+    self-join's two sides and (b) the hash(doc_id) exchange across the two
+    verification joins — the corpus is not re-shingled once per consumer."""
+    from java9_gc_log_parser_spark.operators.dedupe import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"w{i} common words here for shingles {i % 3}")
+         for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    df = minhash_lsh_pairs(docs, threshold=0.3)
+    df.collect()  # reuse only materializes in the executed adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan[:2000]
+
+
+def test_ngram_jaccard_blocking_is_equi_join(spark):
+    """The compound (block, length-bucket) key must reach the join as an
+    equi-join key set — never a broadcast-nested-loop over a block."""
+    from java9_gc_log_parser_spark.operators.dedupe import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "alpha beta gamma delta"[: 5 + i % 18])
+         for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    plan = _formatted(ngram_jaccard_pairs(docs, n=1, threshold=0.5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
