@@ -9,7 +9,9 @@ Packaging (north rule: "packaged for spark-submit --py-files"):
 
 Modes:
   batch      one-shot pipeline, all sinks written once
-  checkpoint resumable micro-batches with manifest/lineage/metrics (default)
+  checkpoint resumable micro-batches with manifest/lineage/metrics (default);
+             --prepare-source first rewrites the input partitioned by
+             batch_bucket so every micro-batch is a pruned 1/n scan
   synth      generate a transcripts parquet from an events parquet dir
 """
 
@@ -27,6 +29,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", help="transcripts parquet path (batch/checkpoint)")
     p.add_argument("--output", required=True, help="output root dir")
     p.add_argument("--n-batches", type=int, default=16)
+    p.add_argument("--prepare-source", action="store_true",
+                   help="checkpoint mode: rewrite input bucketed by "
+                        "batch_bucket under <output>/source first, then run "
+                        "partition-pruned micro-batches from it")
     p.add_argument("--sf-dir", help="events parquet dir (synth mode)")
     p.add_argument("--replicate", type=int, default=1, help="synth scale-up")
     p.add_argument("--master", default=None)
@@ -58,7 +64,13 @@ def main(argv: list[str] | None = None) -> None:
 
     from java9_gc_log_parser_spark.plans import checkpoint as cp
 
-    results = cp.run(spark, args.input, args.output, n_batches=args.n_batches)
+    source = args.input
+    if args.prepare_source:
+        source = cp.prepare_source(
+            spark, spark.read.parquet(args.input),
+            f"{args.output}/source", args.n_batches,
+        )
+    results = cp.run(spark, source, args.output, n_batches=args.n_batches)
     print(json.dumps({
         "mode": "checkpoint",
         "batches_run": [r.batch_id for r in results],
