@@ -117,10 +117,19 @@ def ngram_jaccard_pairs(
     bucket; the build side is exploded to buckets [b-w, b+w] (2w+1 rows,
     w=1 at the default threshold 0.5) so every passing pair meets on exactly
     one key regardless of doc_id order.
+
+    Both sides are repartitioned on their join key with an EXPLICIT count
+    (REPARTITION_BY_NUM): a pair-generating join's output is quadratically
+    larger than its input, but AQE coalesces partitions by INPUT bytes — on
+    a small-bytes corpus it would plan the whole blow-up onto one task (a
+    measured 20.9 s -> 2.8 s at sf0.1). The explicit exchange also
+    materializes the shingle arrays before the join, so codegen cannot defer
+    re-tokenization into the join's match loop.
     """
     import math
 
     w = 0 if threshold >= 1.0 else max(1, math.ceil(math.log2(1.0 / threshold)))
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sh = with_shingles(docs, n).select(
         "doc_id", F.col(block_col).alias("_blk"), "sh", F.size("sh").alias("sz")
     ).withColumn(
@@ -128,11 +137,11 @@ def ngram_jaccard_pairs(
         "_lb",
         (F.length(F.conv(F.col("sz").cast("string"), 10, 2)) - 1).cast("int"),
     )
-    a = sh.alias("a")
+    a = sh.repartition(n_parts, "_blk", "_lb").alias("a")
     b = sh.select(
         "doc_id", "_blk", "sh", "sz",
         F.explode(F.sequence(F.col("_lb") - w, F.col("_lb") + w)).alias("_key"),
-    ).alias("b")
+    ).repartition(n_parts, "_blk", "_key").alias("b")
     # size-bound prune (exact-preserving): jaccard = |inter|/|union| <=
     # min(|A|,|B|)/max(|A|,|B|), so any pair failing the size ratio cannot
     # reach `threshold` — prune before the O(|A|+|B|) array_intersect runs.
@@ -241,11 +250,12 @@ def minhash_lsh_pairs(
     subtree carries the signature; the verification subtree is pruned to
     (sh, sz)) — never once per consumer.
     """
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sig = (
         with_shingles(docs, shingle_n)
         .select("doc_id", "sh", F.size("sh").alias("sz"))
         .withColumn("_sig", minhash_signature(F.col("sh"), k))
-        .repartition("doc_id")
+        .repartition(n_parts, "doc_id")
     )
     if buckets is None:
         rr = k // bands
@@ -265,7 +275,9 @@ def minhash_lsh_pairs(
                 )
             ).alias("band"),
         ).select("doc_id", "band.band_id", "band.band_hash")
-    b = buckets.repartition("band_id", "band_hash")
+    # explicit count: the bucket self-join's output is quadratic in bucket
+    # size — AQE's input-bytes coalescing must not squeeze it onto one task
+    b = buckets.repartition(n_parts, "band_id", "band_hash")
     sized = b.withColumn(
         "bucket_n",
         F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash")),
@@ -394,7 +406,9 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "sim", "b.band_id", "b.band_val").repartition(
-        "band_id", "band_val"
+        int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "band_id",
+        "band_val",
     )
     l, r = bands.alias("l"), bands.alias("r")
     cand = (

@@ -194,6 +194,11 @@ def embedding_near_dup_pairs(
             else sign_bucket(F.col("embedding"), dims)
         ).alias("_blk"),
     )
+    # explicit-count repartition: the within-block self-join's output is
+    # quadratic in block size; AQE coalesces by INPUT bytes and would plan
+    # the blow-up onto one task (cf. dedupe.ngram_jaccard_pairs)
+    n_parts = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(n_parts, "_blk")
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
