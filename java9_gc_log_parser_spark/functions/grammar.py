@@ -114,6 +114,44 @@ REGION_SIZE_RE = r"^Heap region size:\s*(\d+)M"  # :81-85
 # phases catch-all (GcLineParser.scala:87-89): greedy letters/spaces up to ':'
 PHASE_RE = rf"^([a-zA-Z ]*):\s*{_DUR}"
 
+# Single-pass body classifier: ONE alternation regex in exactly the
+# cascade's order. Java regex alternation tries alternatives left-to-right at
+# the anchor, so "first alternative that matches" == "first cascade entry
+# that matches" — the reference's lineDesc order (GcLineParser.scala:112-120)
+# — while the whole classification costs ONE engine pass per line instead of
+# one probe + k group-extract passes per production. Groups of alternatives
+# that did not participate substitute as '' in a regexp_replace template.
+#
+# Group layout (1-based, fixed):
+#   1-3   nr_regions: region, before, after
+#   4-11  pause_end: ptype, (reason), hb, ha, ht, dur int, dur frac, unit
+#   12-13 pause_start: ptype, (reason)
+#   14    concurrent_cycle flag   15 to_space flag   16 using_g1 flag
+#   17    region_size MB
+#   18-21 phase: details, dur int, dur frac, unit
+def _unanchored(regex: str) -> str:
+    assert regex.startswith("^")
+    return regex[1:]
+
+
+MEGA_BODY_RE = (
+    "^(?:"
+    + "|".join(
+        [
+            _unanchored(NR_REGIONS_RE),
+            _unanchored(PAUSE_END_RE),
+            _unanchored(PAUSE_START_RE),
+            "(Concurrent Cycle)",
+            "(To-space exhausted)",
+            "(Using G1)",
+            _unanchored(REGION_SIZE_RE),
+            _unanchored(PHASE_RE),
+        ]
+    )
+    + ")"
+)
+MEGA_BODY_GROUPS = 21
+
 # Ordered cascade: (event_class, body_regex). First match wins.
 BODY_CASCADE = (
     ("nr_regions", NR_REGIONS_RE),

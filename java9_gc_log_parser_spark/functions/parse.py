@@ -73,29 +73,64 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     text = F.col(text_col)
 
-    # --- stage 1: header groups, one matcher run per group ------------------
-    # group 1 is mandatory digits, so _h1 != '' <=> header matched (saves the
-    # separate rlike run of the header regex)
+    # --- stage 1: header, ONE regex pass ------------------------------------
+    # regexp_extract runs the engine once per GROUP; instead regexp_replace
+    # rewrites a matching line to its 7 groups packed on a separator, and a
+    # limit-7 split recovers them (non-participating optional groups pack as
+    # ''). A non-matching line passes through unchanged, so "split produced
+    # exactly 7 fields" detects the match — guarded by "the raw text does not
+    # itself contain the separator": \x01 is not printable and cannot occur
+    # in a valid JVM log line; a line carrying it is conservatively demoted
+    # to unmatched rather than risking field corruption.
+    sep = "\x01"
+    hdr_repl = sep.join(f"${i}" for i in range(1, 8))
+    df = df.withColumn(
+        "_hp", F.split(F.regexp_replace(text, _H, hdr_repl), sep, 7)
+    )
+    hdr_ok = (F.size("_hp") == 7) & ~text.contains(sep)
     df = df.withColumns(
-        {f"_h{i}": _hdr(text, i) for i in range(1, 7)} | {"_body": _hdr(text, 7)}
+        {
+            f"_h{i}": F.when(hdr_ok, F.element_at("_hp", i)).otherwise("")
+            for i in range(1, 7)
+        }
+        | {"_body": F.when(hdr_ok, F.element_at("_hp", 7)).otherwise("")}
     )
     h_int, h_frac, h_unit = F.col("_h1"), F.col("_h2"), F.col("_h3")
     header_ok = h_int != ""
     body = F.col("_body")
 
-    # --- stage 2: one probe extract per body production ---------------------
-    # flag <=> a mandatory capture group is non-empty; the probe group itself
-    # is data (region name / heap-before / pause type / size / dur int-part)
+    # --- stages 2+3: body classification + groups, ONE regex pass -----------
+    # MEGA_BODY_RE alternates every production in cascade order (see
+    # grammar.py for the fixed 21-group layout); the same pack/split trick
+    # recovers all groups of whichever production matched first. The
+    # productions are prefix-matchers (no $ anchor): the replacement template
+    # ends with a separator so the line's unconsumed tail lands in field 22
+    # and is discarded by the split limit. `_body` is derived from a
+    # separator-free text, so field-count detection is exact here.
+    body_repl = sep.join(f"${i}" for i in range(1, G.MEGA_BODY_GROUPS + 1)) + sep
+    df = df.withColumn(
+        "_bp",
+        F.split(
+            F.regexp_replace(body, G.MEGA_BODY_RE, body_repl),
+            sep,
+            G.MEGA_BODY_GROUPS + 1,
+        ),
+    )
+    bp_ok = F.size("_bp") == G.MEGA_BODY_GROUPS + 1
+
+    def _p(i: int) -> Column:
+        return F.when(bp_ok, F.element_at("_bp", i)).otherwise("")
+
     df = df.withColumns(
         {
-            "_nr1": F.regexp_extract(body, G.NR_REGIONS_RE, 1),
-            "_e3": F.regexp_extract(body, G.PAUSE_END_RE, 3),
-            "_s1": F.regexp_extract(body, G.PAUSE_START_RE, 1),
-            "_rs1": F.regexp_extract(body, G.REGION_SIZE_RE, 1),
-            "_ph2": F.regexp_extract(body, G.PHASE_RE, 2),
-            "_is_cc": body.rlike(G.CONCURRENT_CYCLE_RE),
-            "_is_ts": body.rlike(G.TO_SPACE_RE),
-            "_is_g1": body.rlike(G.USING_G1_RE),
+            "_nr1": _p(1), "_nr2": _p(2), "_nr3": _p(3),
+            "_e1": _p(4), "_e2": _p(5), "_e3": _p(6), "_e4": _p(7),
+            "_e5": _p(8), "_e6": _p(9), "_e7": _p(10), "_e8": _p(11),
+            "_s1": _p(12), "_s2": _p(13),
+            "_is_cc": _p(14) != "", "_is_ts": _p(15) != "",
+            "_is_g1": _p(16) != "",
+            "_rs1": _p(17),
+            "_ph1": _p(18), "_ph2": _p(19), "_ph3": _p(20), "_ph4": _p(21),
         }
     )
     is_nr = F.col("_nr1") != ""
@@ -103,28 +138,6 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     is_start = F.col("_s1") != ""
     is_rs = F.col("_rs1") != ""
     is_ph = F.col("_ph2") != ""  # PHASE group 1 can match empty; group 2 is \d+
-
-    # --- stage 3: class-specific groups, guarded so only matching rows pay --
-    def _gx(cond: Column, re: str, i: int) -> Column:
-        return F.when(cond, F.regexp_extract(body, re, i)).otherwise("")
-
-    df = df.withColumns(
-        {
-            "_nr2": _gx(is_nr, G.NR_REGIONS_RE, 2),
-            "_nr3": _gx(is_nr, G.NR_REGIONS_RE, 3),
-            "_e1": _gx(is_end, G.PAUSE_END_RE, 1),
-            "_e2": _gx(is_end, G.PAUSE_END_RE, 2),
-            "_e4": _gx(is_end, G.PAUSE_END_RE, 4),
-            "_e5": _gx(is_end, G.PAUSE_END_RE, 5),
-            "_e6": _gx(is_end, G.PAUSE_END_RE, 6),
-            "_e7": _gx(is_end, G.PAUSE_END_RE, 7),
-            "_e8": _gx(is_end, G.PAUSE_END_RE, 8),
-            "_s2": _gx(is_start & ~is_end, G.PAUSE_START_RE, 2),
-            "_ph1": _gx(is_ph, G.PHASE_RE, 1),
-            "_ph3": _gx(is_ph, G.PHASE_RE, 3),
-            "_ph4": _gx(is_ph, G.PHASE_RE, 4),
-        }
-    )
 
     # --- stage 4: classification over bound attributes ----------------------
     # reason: captured *with* parens so "absent" ('') differs from "()" — the
@@ -270,9 +283,10 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     staging = (
         [f"_h{i}" for i in range(1, 7)]
-        + ["_body", "_nr1", "_e3", "_s1", "_rs1", "_ph2", "_is_cc", "_is_ts",
-           "_is_g1", "_nr2", "_nr3", "_e1", "_e2", "_e4", "_e5", "_e6", "_e7",
-           "_e8", "_s2", "_ph1", "_ph3", "_ph4", "_gclass", "_unl", "_ovfl"]
+        + ["_hp", "_bp", "_body", "_nr1", "_e3", "_s1", "_rs1", "_ph2",
+           "_is_cc", "_is_ts", "_is_g1", "_nr2", "_nr3", "_e1", "_e2", "_e4",
+           "_e5", "_e6", "_e7", "_e8", "_s2", "_ph1", "_ph3", "_ph4",
+           "_gclass", "_unl", "_ovfl"]
     )
     return out.drop(*staging)
 
