@@ -15,16 +15,25 @@ Scaling-measurement design:
   * the input must be large enough that parallel work dominates the fixed
     per-job driver/scheduling cost, exactly as a 100 TB run amortizes fixed
     costs on a real cluster — hence the 20M-turn default (REPLICATE=200).
-  * the N -> 4N pair is local[2] -> local[8]: this single-JVM sandbox has
-    ONE memory bus shared by all threads, and the cached fan-out phase
-    saturates it well below 32 threads — an artifact a real 4N-*executor*
-    cluster does not have, since every added executor brings its own memory
-    bandwidth (8 -> 32 here measures the machine's bus, not the pipeline:
-    ~0.55 even in quiet windows). 2 -> 8 keeps both legs compute-bound, the
-    faithful stand-in for N -> 4N executors. The pair runs on a half-size
+  * the N -> 4N pair is 2 -> 8 CPUs, each leg pinned with `taskset` to
+    exactly N cores: local[N] alone caps only *task* threads — GC threads,
+    shuffle/IO pools, and parquet encoders still use every host core,
+    silently over-provisioning the small leg and understating scaling. The
+    affinity mask is the faithful stand-in for N-core executors. 2 -> 8
+    (not 8 -> 32) keeps both legs compute-bound: this single-JVM sandbox
+    has ONE memory bus, which the fan-out saturates well below 32 threads —
+    an artifact a real 4N-executor cluster does not have, since every added
+    executor brings its own memory bandwidth. The pair runs on a half-size
     input (GCLP_BENCH_REPLICATE_SCALE, default 150 -> 15M turns), sized so
     the ~10 s fixed per-run cost stays under ~10% of the fast leg; the
     headline throughput still uses the full input.
+  * the measured pipeline materializes the parsed table to parquet via the
+    storage seam (`build(materialize_table=...)`) rather than an in-memory
+    cache: at 10^12-turn scale the parsed table lives on storage (Iceberg)
+    and each sink reads it column-pruned, and locally the cache's
+    unified-memory dynamics (unroll/borrow/evict/spill) made wall time
+    nondeterministic (observed 148-380 s swings at identical settings)
+    while the parquet variant is both faster warm and stable.
   * JIT/codegen warmup runs on a small replica of the same shape so the
     measured runs pay no first-compile cost but warmup stays cheap.
   * the 8 sink writes are issued from concurrent threads after the shared
@@ -95,23 +104,26 @@ def _materialize_transcripts(sf_dir: str, replicate: int, path: str) -> int:
     return n
 
 
-def run_pipeline_once(spark, transcripts_path: str) -> float:
+def run_pipeline_once(spark, transcripts_path: str, tag: str = "w") -> float:
     """Full pipeline, every sink + aggregate materialized. Returns wall sec.
 
-    The parse cache is materialized by one action, then all sinks are
-    written from concurrent threads (cache-hit fan-out).
+    The parsed table is materialized through the storage seam (parquet
+    intermediate — the at-scale design: on a real cluster this is the
+    Iceberg `parsed` table) and the 8 sinks then read it column-pruned from
+    concurrent threads. Measured against the in-memory cache variant this
+    is both faster at local[8] (80 s vs 97 s warm) and far more
+    deterministic (the cache's unified-memory dynamics gave 148-380 s
+    swings at identical settings — GC archaeology, not pipeline cost).
     """
     from java9_gc_log_parser_spark.plans.pipeline import build
 
+    inter = f"/tmp/gclp_bench_parsed_{tag}.parquet"
     transcripts = spark.read.parquet(transcripts_path)
     t0 = time.perf_counter()
-    dfs = build(transcripts, persist=True)
-    dfs["parsed"].count()
+    dfs = build(transcripts, materialize_table=inter)
     with ThreadPoolExecutor(len(SINKS)) as ex:
         list(ex.map(lambda s: _noop_write(dfs[s]), SINKS))
-    elapsed = time.perf_counter() - t0
-    dfs["parsed"].unpersist()
-    return elapsed
+    return time.perf_counter() - t0
 
 
 def _timed_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -135,8 +147,10 @@ def _run_level(sf_dir: str, cores: int, tpath: str, wpath: str,
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 32),
     )
-    run_pipeline_once(spark, wpath)  # JIT/codegen warmup, small input
-    best = min(run_pipeline_once(spark, tpath) for _ in range(repeats))
+    run_pipeline_once(spark, wpath, tag=f"{cores}")  # JIT/codegen warmup
+    best = min(
+        run_pipeline_once(spark, tpath, tag=f"{cores}") for _ in range(repeats)
+    )
     out = {"cores": cores, "sec": best}
     if with_queries:
         out["queries"] = _timed_queries(spark, sf_dir)
@@ -145,7 +159,8 @@ def _run_level(sf_dir: str, cores: int, tpath: str, wpath: str,
 
 
 def _spawn_level(sf_dir: str, cores: int, tpath: str, wpath: str,
-                 repeats: int, with_queries: bool) -> dict:
+                 repeats: int, with_queries: bool, pin_cpus: bool) -> dict:
+    import shutil
     import subprocess
 
     env = dict(os.environ)
@@ -153,8 +168,18 @@ def _spawn_level(sf_dir: str, cores: int, tpath: str, wpath: str,
         {"sf_dir": sf_dir, "cores": cores, "tpath": tpath, "wpath": wpath,
          "repeats": repeats, "with_queries": with_queries}
     )
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if pin_cpus and shutil.which("taskset"):
+        # Pin the whole process tree (JVM + Python workers) to exactly
+        # `cores` CPUs. local[N] alone only caps *task* threads — GC
+        # threads, shuffle/IO pools, and parquet encoders still fan out
+        # across every host core, silently over-provisioning the small leg
+        # and understating scaling. An affinity mask of N CPUs is the
+        # faithful stand-in for an N-core cluster (JDK 17 sizes GC threads
+        # from sched_getaffinity, so the JVM self-tunes to the mask).
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
+        cmd,
         env=env, capture_output=True, text=True, check=True,
     )
     for line in proc.stdout.splitlines():
@@ -221,7 +246,7 @@ def main() -> None:
                 # manager growth, page-cache fill) — observed 4x on the sink
                 # phase; min() inside the JVM reports the warm number
                 r = _spawn_level(sf_dir, cores, spath, wpath, 2,
-                                 with_queries=False)
+                                 with_queries=False, pin_cpus=True)
                 samples[cores].append(round(r["sec"], 3))
                 results[cores] = min(results[cores], r["sec"])
             rounds += 1
@@ -230,7 +255,8 @@ def main() -> None:
             )
             if rounds >= min_rounds and (eff >= target_eff or rounds >= max_rounds):
                 break
-    r = _spawn_level(sf_dir, n_big, tpath, wpath, repeats, with_queries=True)
+    r = _spawn_level(sf_dir, n_big, tpath, wpath, repeats, with_queries=True,
+                     pin_cpus=False)
     results[n_big] = r["sec"]
     queries = r["queries"]
 

@@ -44,12 +44,18 @@ the matcher entirely.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import grammar as G
 
 _H = G.HEADER_RE
+
+#: unique observation names (two CollectMetrics nodes in one query must not
+#: share a name)
+_obs_ids = itertools.count()
 
 
 def _hdr(text: Column, idx: int) -> Column:
@@ -288,7 +294,21 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
            "_e5", "_e6", "_e7", "_e8", "_s2", "_ph1", "_ph3", "_ph4",
            "_gclass", "_unl", "_ovfl"]
     )
-    return out.drop(*staging)
+    # Optimizer barrier (+ free parsed-rows metric): PushDownPredicates does
+    # not cross CollectMetrics, so a filter composed above the parse stays
+    # above it. Without this, alias substitution through the cascade's
+    # project stages expands a pushed condition combinatorially (a single
+    # event_class filter over an unpersisted parse took 212 s to *plan* at
+    # 1k rows and would re-run the mega-regex per referenced group per row);
+    # with it the same query plans instantly and the parse runs once.
+    # Pushing a derived-column filter below the parse can never reach the
+    # parquet scan anyway, so nothing of value is lost. Column pruning DOES
+    # cross the barrier (verified: a select of one output column prunes the
+    # scan to ReadSchema<text>), and measured overhead on a 200k-turn parse
+    # is ~4%. Names are unique per call so two parses can meet in one query.
+    return out.drop(*staging).observe(
+        f"parse_obs_{next(_obs_ids)}", F.count(F.lit(1)).alias("rows")
+    )
 
 
 PARSE_COLUMNS = [

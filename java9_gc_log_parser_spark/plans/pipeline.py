@@ -1,9 +1,24 @@
 """End-to-end pipeline composition (reference E1 lifecycle, SURVEY §3).
 
 parse -> supported-types filter -> enrich -> route (3 sinks) -> assemble ->
-aggregate. The parsed DataFrame is persisted before fan-out so the parse
-stage executes exactly once for all sinks (SURVEY §4: one-pass fan-out —
-without the persist, Spark would re-run the scan+parse per sink action).
+aggregate. The parsed DataFrame is materialized once before fan-out so the
+parse stage executes exactly once for all sinks (SURVEY §4: one-pass
+fan-out — without it, Spark would re-run the scan+parse per sink action).
+
+Two materialization strategies:
+
+* ``persist=True`` — in-memory columnar cache (MEMORY_AND_DISK). Right for
+  interactive/small inputs, but the cache's unified-memory dynamics
+  (unroll, borrow, evict, spill) make large-input wall time depend on the
+  JVM's memory-manager history, and at 10^12-turn scale the parsed table
+  cannot live in cluster memory at all.
+* ``materialize_table=`` — write the parsed DataFrame through the storage
+  seam (parquet here, Iceberg on a real cluster) and re-read it for the
+  fan-out. This is the at-scale design: the write is an embarrassingly
+  parallel encode, and every sink then reads only the columns it needs
+  (columnar pruning — e.g. the wide ``text`` column is read ONLY by the
+  dead-letter sink), so the fan-out costs far less I/O than one full cache
+  scan per sink. bench.py uses this mode.
 """
 
 from __future__ import annotations
@@ -13,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.parse import parse_lines
+from ..storage import TableRef, read_table, write_table
 from ..operators.assemble import assembled_pauses, assembly_dead_letters
 from ..operators.aggregate import (
     bucket_pause_stats,
@@ -24,15 +40,29 @@ from ..operators.aggregate import (
 from ..operators.route import route, supported_types_filter
 
 
-def build(transcripts: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
+def build(
+    transcripts: DataFrame,
+    persist: bool = True,
+    materialize_table: TableRef | str | None = None,
+) -> dict[str, DataFrame]:
     """Compose every stage; returns the named DataFrames (lazily planned).
 
     Keys: parsed, pause_events, tool_calls, unmatched, dead_letter (grammar
     unmatched + assembly errors unified), assembled, conv_state,
     conv_state_scan, bucket_turns, bucket_pauses, dur_histogram.
+
+    ``materialize_table`` (a storage-seam TableRef or path) switches the
+    fan-out from the in-memory cache to a storage-backed parsed table (see
+    module docstring); it EAGERLY writes the parse output there, then the
+    returned sinks read it column-pruned. Mutually exclusive intent with
+    ``persist`` — when given, ``persist`` is ignored.
     """
     parsed = parse_lines(transcripts)
-    if persist:
+    if materialize_table is not None:
+        spark = transcripts.sparkSession
+        write_table(parsed, materialize_table)
+        parsed = read_table(spark, materialize_table)
+    elif persist:
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
     sinks = route(parsed)

@@ -126,6 +126,28 @@ def test_minhash_runtime_reuses_shared_exchanges(spark):
     assert plan.count("ReusedExchange") >= 2, plan[:2000]
 
 
+def test_parse_barrier_stops_filter_pushdown(spark, sf_dir):
+    """A filter composed above the (unpersisted) parse must stay above the
+    CollectMetrics barrier. Without the barrier, PushDownPredicates
+    substitutes the whole staged cascade into the condition combinatorially
+    — a single event_class filter took >200 s to *plan* on 1k rows — and
+    the pushed condition would re-run the mega-regex once per referenced
+    group per row. Pinned by plan shape AND by optimized-plan size (the
+    blown-up plan is tens of MB; the barriered one is a few KB)."""
+    from java9_gc_log_parser_spark.functions.parse import parse_lines
+
+    q = parse_lines(synth_transcripts(spark, sf_dir)).filter(
+        F.col("event_class") == "pause_end"
+    )
+    plan = _formatted(q)
+    assert "CollectMetrics" in plan
+    # the blown-up plan inlines the header/body regex once per substituted
+    # group reference; the barriered plan keeps exactly the cascade's own
+    # regexp_replace calls (2 passes + tag cleanup)
+    assert plan.count("regexp_replace") <= 8, plan.count("regexp_replace")
+    assert len(plan) < 200_000, f"optimized plan blew up: {len(plan)} chars"
+
+
 def test_ngram_jaccard_blocking_is_equi_join(spark):
     """The compound (block, length-bucket) key must reach the join as an
     equi-join key set — never a broadcast-nested-loop over a block."""
