@@ -318,6 +318,36 @@ def q25_frame_sample(spark, sf_dir):
     return frame_sample(feats, every_n=30)
 
 
+def q29_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved to duplicate clusters (connected components
+    via distributed min-label propagation) + canonical keep-list; oracled
+    against a DuckDB recursive-CTE transitive closure of the same q18
+    pair semantics."""
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dedup_clusters(docs, ngram_jaccard_pairs(docs, n=1, threshold=0.5))
+
+
+def q30_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (map-only,
+    engine-portable: the oracle recomputes it from (doc_id, salt) alone)."""
+    from java9_gc_log_parser_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q31_hash_sample(spark, sf_dir):
+    """Deterministic 20% subsample by the same stable hash (nested-subset
+    property: fraction 0.1 of the same salt is a subset of fraction 0.2)."""
+    from java9_gc_log_parser_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.2).select("doc_id")
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -741,6 +771,65 @@ FROM (
 )
 
 
+def _split_case_sql(salt: str = "v1") -> str:
+    from java9_gc_log_parser_spark.operators.sampling import split_boundaries
+
+    h = f"substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 4)"
+    arms = "\n       ".join(
+        f"WHEN {h} < '{bound}' THEN '{name}'"
+        for name, bound in split_boundaries()
+    )
+    return f"CASE {arms} END"
+
+
+_ORACLES.update(
+    {
+        # transitive closure of the q18 pair graph (recursive CTE), then
+        # min-reachable-id as cluster id, left-joined onto every document
+        "q29_dedup_clusters": _DTOK.replace("WITH dtok", "WITH RECURSIVE dtok", 1)
+        + """
+, pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CASE WHEN len(list_distinct(list_concat(a.lt, b.lt))) > 0
+        THEN CAST(len(list_intersect(a.lt, b.lt)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.lt, b.lt)))
+        ELSE 0.0 END AS j
+    FROM (SELECT doc_id, source, list_distinct(ltoks) AS lt FROM dtok) a
+    JOIN (SELECT doc_id, source, list_distinct(ltoks) AS lt FROM dtok) b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+  ) WHERE j >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+        "q30_hash_split": f"""
+SELECT doc_id, {_split_case_sql()} AS split FROM documents
+""",
+        "q31_hash_sample": """
+SELECT doc_id FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4) < '3333'
+""",
+    }
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -776,6 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_stream_assembled": q26_stream_assembled,
         "q27_checkpoint_resume": q27_checkpoint_resume,
         "q28_conv_state_json": q28_conv_state_json,
+        "q29_dedup_clusters": q29_dedup_clusters,
+        "q30_hash_split": q30_hash_split,
+        "q31_hash_sample": q31_hash_sample,
     }
 
 

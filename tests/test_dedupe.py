@@ -213,3 +213,48 @@ def test_staging_columns_rejected_on_input(spark):
     df = _docs(spark, [(1, "s", "a b c")]).withColumn("_toks", F.lit("x"))
     with pytest.raises(ValueError, match="_toks"):
         with_shingles(df, 3)
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters: connected components + canonical keep-list
+# ---------------------------------------------------------------------------
+
+def _clusters(spark, docs_rows, pairs_rows):
+    from java9_gc_log_parser_spark.operators.dedupe import dedup_clusters
+
+    docs = _docs(spark, docs_rows)
+    pairs = spark.createDataFrame(pairs_rows, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C must land A,B,C in one cluster even though A~C was never
+    emitted; the min id is canonical; untouched docs are their own keepers."""
+    rows = [(i, "s", f"doc {i}") for i in range(5)]
+    got = _clusters(spark, rows, [(0, 1), (1, 2)])
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True),
+    }
+
+
+def test_dedup_clusters_two_components_and_long_chain(spark):
+    """Chain 0-1-2-3-4 (diameter > 1 round) + disjoint pair 10-11."""
+    rows = [(i, "s", f"doc {i}") for i in [0, 1, 2, 3, 4, 10, 11, 12]]
+    got = _clusters(spark, rows, [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)])
+    assert {k: v[0] for k, v in got.items()} == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 12,
+    }
+    assert [k for k, v in got.items() if v[1]] == sorted(
+        [k for k, v in got.items() if v[1]]
+    ) and {k for k, v in got.items() if v[1]} == {0, 10, 12}
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    """No pairs -> every doc is its own singleton cluster, all kept."""
+    rows = [(i, "s", f"doc {i}") for i in range(3)]
+    got = _clusters(spark, rows, [])
+    assert got == {i: (i, True) for i in range(3)}

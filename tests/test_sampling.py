@@ -1,0 +1,61 @@
+"""Unit tests for operators/sampling.py: determinism, portability of the
+md5-bucket mechanism (recomputed in plain Python), fraction accuracy, and
+the nested-subset property."""
+
+from __future__ import annotations
+
+import hashlib
+
+from java9_gc_log_parser_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    split_boundaries,
+)
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+
+
+def _py_split(doc_id: int, salt: str = "v1") -> str:
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:4]
+    for name, bound in split_boundaries():
+        if h < bound:
+            return name
+    raise AssertionError("unreachable")
+
+
+def test_hash_split_matches_python_ground_truth(spark):
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(_docs(spark)).select("doc_id", "split").collect()
+    }
+    assert got == {i: _py_split(i) for i in range(400)}
+
+
+def test_hash_split_fractions_and_stability(spark):
+    df = hash_split(_docs(spark, 2000))
+    counts = {r["split"]: r["n"] for r in
+              df.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == 2000          # total, every row assigned
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    assert abs(counts["test"] / 2000 - 0.1) < 0.03
+    # determinism: a second evaluation is identical
+    a = sorted(map(tuple, df.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, hash_split(_docs(spark, 2000))
+                   .select("doc_id", "split").collect()))
+    assert a == b
+
+
+def test_hash_sample_nested_subset(spark):
+    docs = _docs(spark, 2000)
+    s10 = {r["doc_id"] for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    s20 = {r["doc_id"] for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    assert s10 <= s20
+    assert abs(len(s20) / 2000 - 0.2) < 0.04
+    # full fraction keeps everything, zero keeps nothing
+    assert hash_sample(docs, 1.0).count() == 2000
+    assert hash_sample(docs, 0.0).count() == 0
