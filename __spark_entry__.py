@@ -348,6 +348,24 @@ def q31_hash_sample(spark, sf_dir):
     return hash_sample(_docs(spark, sf_dir), 0.2).select("doc_id")
 
 
+def q32_contamination(spark, sf_dir):
+    """Benchmark decontamination: train docs (hash_split 'train') sharing
+    >=2 distinct word 4-grams with any eval doc (split 'test'); the eval
+    gram table is broadcast so the corpus scan is map-side."""
+    from java9_gc_log_parser_spark.operators.contamination import (
+        contamination_pairs,
+    )
+    from java9_gc_log_parser_spark.operators.sampling import hash_split
+
+    split = hash_split(_docs(spark, sf_dir))
+    return contamination_pairs(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+        n=4,
+        min_overlap=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -826,6 +844,28 @@ SELECT doc_id, {_split_case_sql()} AS split FROM documents
 SELECT doc_id FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4) < '3333'
 """,
+        # same tokenizer/shingler as the dedup family (ltoks; 4-grams with
+        # the short-doc full-join fallback), split recomputed from md5
+        "q32_contamination": _DTOK + f"""
+, sp AS (
+  SELECT doc_id, ltoks, {_split_case_sql()} AS split FROM dtok
+),
+grams AS (
+  SELECT doc_id, split,
+    unnest(CASE WHEN len(ltoks) >= 4
+      THEN list_distinct(list_transform(
+             range(1, len(ltoks) - 2),
+             i -> array_to_string(ltoks[i:i+3], ' ')))
+      ELSE [array_to_string(ltoks, ' ')] END) AS gram
+  FROM sp WHERE split IN ('train', 'test')
+)
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM grams t JOIN grams e USING (gram)
+WHERE t.split = 'train' AND e.split = 'test'
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
     }
 )
 
@@ -868,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_dedup_clusters": q29_dedup_clusters,
         "q30_hash_split": q30_hash_split,
         "q31_hash_sample": q31_hash_sample,
+        "q32_contamination": q32_contamination,
     }
 
 

@@ -1,0 +1,90 @@
+"""Benchmark decontamination: train/eval n-gram overlap detection.
+
+Before training, a corpus must be screened against evaluation benchmarks:
+any training document sharing enough rare word n-grams with an eval document
+leaks the benchmark into the training set (the standard n-gram-overlap
+decontamination procedure described openly in LLM training reports).
+
+Spark-first shape (no UDFs, no all-pairs):
+
+  * both sides are shingled with the SAME tokenizer/shingler as the dedup
+    family (``dedupe.with_shingles`` — distinct word n-grams, short-doc
+    fallback), so dedup and decontamination agree on token semantics;
+  * the eval side is exploded to (gram, eval_id) and **broadcast**: eval
+    benchmarks are a few MB against a 100 TB corpus, so the join is map-side
+    — the train corpus is scanned once, shuffle-free until the final
+    per-pair aggregation;
+  * the per-pair aggregation groups by (train_id, eval_id) and counts the
+    shared grams; because shingles are distinct per doc, ``count(*)`` IS the
+    distinct-overlap size. Partial aggregation (map-side combine) bounds the
+    shuffle to surviving pairs, which decontamination keeps rare by using
+    long-ish n-grams;
+  * degenerate grams (boilerplate shared by a large share of eval docs)
+    can be dropped with ``max_gram_eval_docs`` — a documented recall
+    trade-off, computed on the tiny eval side before the broadcast, so the
+    hot-key blow-up never reaches the big join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedupe import with_shingles
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    max_gram_eval_docs: int | None = None,
+) -> DataFrame:
+    """(train_id, eval_id, n_shared): train docs sharing ``>= min_overlap``
+    distinct word ``n``-grams with an eval doc.
+
+    ``filter`` on the result (or an anti-join back to ``train``) is the
+    decontaminated corpus. ``max_gram_eval_docs`` drops grams present in
+    more than that many eval documents before matching (boilerplate guard).
+    """
+    ev = (
+        with_shingles(eval_df, n)
+        .select(F.col(id_col).alias("eval_id"), F.explode("sh").alias("gram"))
+    )
+    if max_gram_eval_docs is not None:
+        ok = (
+            ev.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_n_ev"))
+            .filter(F.col("_n_ev") <= max_gram_eval_docs)
+            .select("gram")
+        )
+        ev = ev.join(ok, "gram")
+    tr = (
+        with_shingles(train, n)
+        .select(F.col(id_col).alias("train_id"), F.explode("sh").alias("gram"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train corpus minus every document flagged by ``contamination_pairs``.
+
+    Left anti join on the (small) flagged-id set — at scale, broadcast-able
+    because the contaminated fraction of a screened corpus is tiny.
+    """
+    flagged = contamination_pairs(
+        train, eval_df, n=n, min_overlap=min_overlap, id_col=id_col
+    ).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

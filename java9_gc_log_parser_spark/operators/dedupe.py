@@ -36,9 +36,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from itertools import count
+
 from .text_analysis import tokens_col
 
 _LONG_MAX = (1 << 63) - 1
+_obs_ids = count()
 
 
 def assert_no_staging(df: DataFrame, *names: str) -> None:
@@ -65,6 +68,13 @@ def with_shingles(docs: DataFrame, n: int = 3, out: str = "sh") -> DataFrame:
         F.sequence(F.lit(1), k - n + 1),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
+    # Optimizer barrier (same pattern as functions/parse.py): a downstream
+    # explode(sh) makes InferFiltersFromGenerate add `size(sh)>0 AND
+    # isnotnull(sh)`, and predicate pushdown then re-inlines the whole
+    # tokenize+shingle expression into the scan filter — ~3 evaluations per
+    # row (filter twice + project once). PushDownPredicates does not cross
+    # CollectMetrics, so the inferred filter stays above the bound column
+    # and shingling runs exactly once; column pruning still reaches the scan.
     return (
         docs.withColumn("_toks", tokens_col(F.lower(F.col("text"))))
         .withColumn(
@@ -74,6 +84,7 @@ def with_shingles(docs: DataFrame, n: int = 3, out: str = "sh") -> DataFrame:
             ),
         )
         .drop("_toks")
+        .observe(f"shingle_obs_{next(_obs_ids)}", F.count(F.lit(1)).alias("rows"))
     )
 
 

@@ -1,0 +1,82 @@
+"""Unit tests for operators/contamination.py: known-answer overlap fixture,
+threshold behavior, boilerplate-gram cap, and the decontaminate anti-join."""
+
+from __future__ import annotations
+
+from java9_gc_log_parser_spark.operators.contamination import (
+    contamination_pairs,
+    decontaminate,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _pairs(spark, train_rows, eval_rows, **kw):
+    got = contamination_pairs(
+        _df(spark, train_rows), _df(spark, eval_rows), **kw
+    ).collect()
+    return {(r["train_id"], r["eval_id"]): r["n_shared"] for r in got}
+
+
+def test_known_answer_overlap(spark):
+    """Train doc 1 embeds eval doc 10's text verbatim -> every eval 2-gram is
+    shared; train doc 2 shares exactly one 2-gram (below min_overlap=2)."""
+    train = [
+        (1, "s", "x y a b c d z"),       # contains "a b c d" -> grams a b, b c, c d
+        (2, "s", "a b q r s t u"),       # shares only "a b"
+        (3, "s", "p q r s t u v"),       # disjoint
+    ]
+    eval_rows = [(10, "s", "a b c d")]
+    got = _pairs(spark, train, eval_rows, n=2, min_overlap=2)
+    assert got == {(1, 10): 3}
+
+
+def test_min_overlap_one_flags_single_gram(spark):
+    train = [(2, "s", "a b q r s t u")]
+    eval_rows = [(10, "s", "a b c d")]
+    got = _pairs(spark, train, eval_rows, n=2, min_overlap=1)
+    assert got == {(2, 10): 1}
+
+
+def test_short_doc_fallback_exact_match(spark):
+    """Docs shorter than n collapse to one full-text shingle: only an exact
+    (lowercased) token-sequence match can fire."""
+    train = [(1, "s", "Tiny Doc"), (2, "s", "tiny doc x y z w q")]
+    eval_rows = [(10, "s", "tiny doc")]
+    got = _pairs(spark, train, eval_rows, n=4, min_overlap=1)
+    assert got == {(1, 10): 1}  # doc 2's 4-grams never equal the 2-token gram
+
+
+def test_boilerplate_gram_cap(spark):
+    """A gram present in > max_gram_eval_docs eval docs is dropped before
+    matching; rarer grams still fire."""
+    train = [(1, "s", "common header here rare tail gram")]
+    eval_rows = [
+        (10, "s", "common header here rare tail gram"),
+        (11, "s", "common header here other words follow"),
+        (12, "s", "common header here more filler text"),
+    ]
+    capped = _pairs(
+        spark, train, eval_rows, n=3, min_overlap=1, max_gram_eval_docs=1
+    )
+    # "common header here" appears in 3 eval docs -> dropped; the rare tail
+    # grams of eval 10 survive and still flag the pair
+    assert set(capped) == {(1, 10)}
+    uncapped = _pairs(spark, train, eval_rows, n=3, min_overlap=1)
+    assert set(uncapped) == {(1, 10), (1, 11), (1, 12)}
+
+
+def test_decontaminate_removes_flagged_only(spark):
+    train = [
+        (1, "s", "x y a b c d z"),
+        (2, "s", "a b q r s t u"),
+        (3, "s", "p q r s t u v"),
+    ]
+    eval_rows = [(10, "s", "a b c d")]
+    kept = decontaminate(
+        _df(spark, train), _df(spark, eval_rows), n=2, min_overlap=2
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    assert kept.columns == ["doc_id", "source", "text"]
