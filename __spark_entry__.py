@@ -366,6 +366,15 @@ def q32_contamination(spark, sf_dir):
     )
 
 
+def q33_token_budget(spark, sf_dir):
+    """Pre-training corpus accounting: docs / total / mean tokens per
+    (split, source) — one scan, map-side token count, tiny-key groupBy."""
+    from java9_gc_log_parser_spark.operators.sampling import hash_split
+    from java9_gc_log_parser_spark.operators.text_analysis import token_budget
+
+    return token_budget(hash_split(_docs(spark, sf_dir)))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -866,6 +875,14 @@ WHERE t.split = 'train' AND e.split = 'test'
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """,
+        "q33_token_budget": _DTOK + f"""
+SELECT {_split_case_sql()} AS split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+FROM dtok
+GROUP BY 1, 2
+""",
     }
 )
 
@@ -909,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_hash_split": q30_hash_split,
         "q31_hash_sample": q31_hash_sample,
         "q32_contamination": q32_contamination,
+        "q33_token_budget": q33_token_budget,
     }
 
 

@@ -128,3 +128,29 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+
+
+def token_budget(
+    docs: DataFrame, group_cols: tuple[str, ...] = ("split", "source")
+) -> DataFrame:
+    """Corpus token accounting per group (the pre-training planning query:
+    how many documents / tokens does each split and source contribute).
+
+    One map-side token count folded into a partially-aggregated groupBy on a
+    tiny key space — at 100 TB this is a single scan with a few-hundred-row
+    shuffle. ``mean_tokens`` is derived post-agg from (total, n) so the
+    token-count expression is evaluated once per row.
+    """
+    toks = tokens_col(F.col("text"))
+    agg = docs.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("total_tokens"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_tokens"),
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from java9_gc_log_parser_spark.operators.text_analysis import (
     dedup_exact,
@@ -95,3 +96,25 @@ def test_dedup_exact_normalization(spark):
     assert (rows[0].n_docs, rows[0].canonical_doc_id) == (3, 3)
     assert (rows[1].n_docs, rows[1].canonical_doc_id) == (1, 7)
     assert rows[0].text_hash == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_token_budget_groups_and_means(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import token_budget
+
+    df = _docs(
+        spark,
+        [
+            (1, "a", "one two three"),
+            (2, "a", "four five"),
+            (3, "b", "six"),
+            (4, "b", ""),
+        ],
+    ).withColumn("split", F.lit("train"))
+    got = {
+        (r["split"], r["source"]): (r["n_docs"], r["total_tokens"], r["mean_tokens"])
+        for r in token_budget(df).collect()
+    }
+    assert got == {
+        ("train", "a"): (2, 5, 2.5),
+        ("train", "b"): (2, 1, 0.5),  # blank text counts 0 tokens
+    }
