@@ -375,6 +375,60 @@ def q33_token_budget(spark, sf_dir):
     return token_budget(hash_split(_docs(spark, sf_dir)))
 
 
+def q34_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantized ANN: deterministic 16-centroid inverted file,
+    4-cell probe (the scale path where the cell id is the partition key)."""
+    from java9_gc_log_parser_spark.operators.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(_embs(spark, sf_dir), k=5, n_centroids=16, n_probe=4)
+
+
+#: q35's pattern set: the standard PII list plus a corpus-matching deny term
+#: (the synthetic word-salad contains no real PII, so the deny term keeps the
+#: oracle check non-trivial while the PII patterns prove the plumbing).
+def _q35_patterns():
+    from java9_gc_log_parser_spark.operators.redact import PII_PATTERNS
+
+    return PII_PATTERNS + (("deny", r"\bcustomer\b"),)
+
+
+def q35_pii_redact(spark, sf_dir):
+    """PII / deny-term redaction: per-pattern counts + md5 of the redacted
+    text (byte-compared against DuckDB's identical sequential rewrite)."""
+    from java9_gc_log_parser_spark.operators.redact import redact
+
+    out = redact(_docs(spark, sf_dir), _q35_patterns())
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "n_deny",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+def q36_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition gate (top-2-gram / dup-3-gram)."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q37_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the transcripts (idle > 1h splits)."""
+    from java9_gc_log_parser_spark.operators.aggregate import sessionize
+
+    return sessionize(synth_transcripts(spark, sf_dir), gap_s=3600)
+
+
+def q38_stratified_sample(spark, sf_dir):
+    """Exact per-source quota sample (10 docs/source by stable hash order)."""
+    from java9_gc_log_parser_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "source", 10).select(
+        "doc_id", "source"
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -883,8 +937,117 @@ SELECT {_split_case_sql()} AS split, source,
 FROM dtok
 GROUP BY 1, 2
 """,
+        # IVF: same deterministic centroids (16 lowest vec_ids), same rounded
+        # cosine, same tie-breaks (cell: cos desc then cid asc; topk: cos
+        # desc then neighbor_id asc) as similarity.ann_topk_ivf
+        "q34_ann_ivf": _EMB + f"""
+, cent AS (
+  SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16
+),
+cellscore AS (
+  SELECT v.vec_id, v.emb, c.cid,
+         {_COS.format(a="v.emb", b="c.cemb")} AS ccos
+  FROM e v, cent c
+),
+assigned AS (
+  SELECT vec_id, emb, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) AS crk
+    FROM cellscore
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, emb AS qemb, cid AS q_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) AS crk
+    FROM cellscore WHERE vec_id % 101 = 0
+  ) WHERE crk <= 4
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_COS.format(a="p.qemb", b="a.emb")} AS cos
+    FROM probes p JOIN assigned a
+      ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+  )
+) WHERE rk <= 5
+""",
+        "q36_repetition": _DTOK + """
+, grams AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(ltoks), 1)),
+                   i -> array_to_string(ltoks[i:i+1], ' ')) AS g2,
+    list_transform(range(1, greatest(len(ltoks) - 1, 1)),
+                   i -> array_to_string(ltoks[i:i+2], ' ')) AS g3
+  FROM dtok
+),
+fr AS (
+  SELECT doc_id,
+    ROUND(CASE WHEN len(g2) > 0
+      THEN CAST(list_aggregate(
+             list_transform(list_distinct(g2),
+                            g -> len(list_filter(g2, x -> x = g))),
+             'max') AS DOUBLE) / len(g2)
+      ELSE 0.0 END, 6) AS top_2gram_frac,
+    ROUND(CASE WHEN len(g3) > 0
+      THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      ELSE 0.0 END, 6) AS dup_3gram_frac
+  FROM grams
+)
+SELECT doc_id, top_2gram_frac, dup_3gram_frac,
+       (top_2gram_frac > 0.20 OR dup_3gram_frac > 0.20) AS flagged
+FROM fr
+""",
+        "q38_stratified_sample": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4),
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10
+""",
     }
 )
+
+from java9_gc_log_parser_spark.operators.redact import (  # noqa: E402
+    redaction_oracle_sql,
+)
+
+_ORACLES["q35_pii_redact"] = f"""
+SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, n_deny,
+       md5(redacted_text) AS redacted_md5
+FROM ({redaction_oracle_sql(_q35_patterns())})
+"""
+
+# sessionize: Spark's unix_timestamp() is floor(epoch seconds), so the gap
+# and duration arithmetic floors epoch on both sides (ts carries micros)
+_ORACLES["q37_sessionize"] = O.with_ctes() + """
+, gaps AS (
+  SELECT conv_id, turn_idx, ts,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx))) AS BIGINT) AS gap
+  FROM transcripts
+),
+sess AS (
+  SELECT conv_id, ts,
+    SUM(CASE WHEN gap > 3600 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gaps
+)
+SELECT conv_id, CAST(session_idx AS INT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT)
+         - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+FROM sess GROUP BY conv_id, session_idx
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -927,6 +1090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_hash_sample": q31_hash_sample,
         "q32_contamination": q32_contamination,
         "q33_token_budget": q33_token_budget,
+        "q34_ann_ivf": q34_ann_ivf,
+        "q35_pii_redact": q35_pii_redact,
+        "q36_repetition": q36_repetition,
+        "q37_sessionize": q37_sessionize,
+        "q38_stratified_sample": q38_stratified_sample,
     }
 
 

@@ -167,6 +167,40 @@ def bucket_pause_stats(assembled: DataFrame, bucket: str = "hour") -> DataFrame:
     )
 
 
+def sessionize(transcripts: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Gap-based sessionization: split each conversation into sessions
+    wherever the inter-turn idle time exceeds ``gap_s`` seconds, and roll up
+    one row per session.
+
+    The classic log-pipeline operator the reference's single-file model never
+    needed (one JVM = one "session"), but which any multi-tenant transcript
+    store does. Two windows over the same ``(conv_id ORDER BY turn_idx)``
+    partitioning — lag to mark boundaries, running sum to number sessions —
+    so Spark plans ONE shuffle + ONE sort and both windows reuse it; the
+    final rollup groups by (conv_id, session_idx), a superset key of the
+    window partition, so AQE keeps it co-partitioned. Hot conversations skew
+    a window partition, but per-row window state is O(1) here and the
+    downstream agg is algebraic (map-side combinable).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap > gap_s, F.lit(1)).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = transcripts.select(
+        "conv_id",
+        "ts",
+        F.sum(is_new).over(wrun).cast("int").alias("session_idx"),
+    )
+    return sess.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
 def duration_histogram(assembled: DataFrame, bin_ms: float = 10.0) -> DataFrame:
     """G3c: pause-duration histogram (fixed-width bins)."""
     return (

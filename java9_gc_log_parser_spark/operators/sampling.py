@@ -69,6 +69,35 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic exact-quota sample: the ``n_per_group`` records of each
+    group with the smallest (hash bucket, id) — stable across runs and
+    re-shards like :func:`hash_split`, but with an exact per-stratum count
+    (corpus-mixing quotas need exact counts, not expected fractions).
+
+    Implemented as a per-group top-N window: Spark's WindowGroupLimit
+    pushes the rank filter below the sort, so each map task keeps only its
+    local top-N per group before the shuffle — the shuffle carries
+    O(groups x N x tasks), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,

@@ -15,7 +15,7 @@ Also: embedding-cosine near-duplicate pairs (blocked by label).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EPS = 1e-12
@@ -157,6 +157,111 @@ def ann_topk_lsh(
                 6,
             ),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_pred: Column | None = None,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, then search each query against only its
+    ``n_probe`` nearest cells.
+
+    The centroid set is deterministic — the ``n_centroids`` lowest-vec_id
+    vectors (a training-free coarse quantizer; a real deployment k-means
+    refines it offline, which changes the centroid table, not this plan).
+    Centroids are tiny and broadcast twice: once to assign every corpus
+    vector to its argmax-cosine cell (map-only scan), once to pick each
+    query's probe cells. The candidate join then hits ``n_probe/n_centroids``
+    of the corpus instead of all of it — at 100 TB the cell id becomes the
+    table's partition key, so a probe is a partition-pruned scan, and the
+    assignment column is written once at ingest. Output shape matches the
+    exact path: (query_id, neighbor_id, rank, cos); recall vs brute force is
+    asserted in tests (n_probe = n_centroids degenerates to exact).
+
+    Cell-id tie-break on equal cosine: lowest centroid id, matching the
+    oracle's ``row_number() ORDER BY cos DESC, cid``.
+    """
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 101 == 0
+    e = _with_norm(embeddings)
+    cent = (
+        e.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("_emb").alias("cent_emb"),
+            F.col("_nrm").alias("cent_nrm"),
+        )
+    )
+    cent_cos = F.round(
+        _dot(F.col("_emb"), F.col("cent_emb"))
+        / (F.col("_nrm") * F.col("cent_nrm") + F.lit(EPS)),
+        6,
+    )
+    # corpus cell assignment: argmax over the 16x-exploded (vector, centroid)
+    # rows as a map-side-combinable groupBy — each partition folds its 16
+    # copies locally, so the shuffle stays ~corpus-sized (a window
+    # partitioned by vec_id would shuffle the full explosion). max_by's
+    # ordering struct breaks cosine ties toward the lowest centroid id.
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("_ccos", cent_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "_emb", "_nrm"),
+                F.struct(F.col("_ccos"), -F.col("cid")),
+            ).alias("_best")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_best._emb").alias("c_emb"),
+            F.col("_best._nrm").alias("c_nrm"),
+            F.col("_best.cid").alias("cell"),
+        )
+    )
+    # probe-cell ranking needs top-n_probe (not argmax); the query set is
+    # tiny so this window's shuffle is negligible
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("_ccos").desc(), F.col("cid")
+    )
+    probes = (
+        e.filter(query_pred)
+        .join(F.broadcast(cent))
+        .withColumn("_ccos", cent_cos)
+        .withColumn("_crk", F.row_number().over(wcell))
+        .filter(F.col("_crk") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_emb").alias("q_emb"),
+            F.col("_nrm").alias("q_nrm"),
+            F.col("cid").alias("q_cell"),
+        )
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cos",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm") + F.lit(EPS)),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

@@ -130,6 +130,62 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; fewer than n tokens -> empty."""
+    sz = F.size(toks)
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    top_frac_threshold: float = 0.20,
+    dup_frac_threshold: float = 0.20,
+) -> DataFrame:
+    """Intra-document repetition metrics (Gopher-style quality gate).
+
+    Per doc: ``top_2gram_frac`` = occurrences of the most frequent word
+    2-gram / total 2-grams; ``dup_3gram_frac`` = fraction of 3-gram slots
+    occupied by a non-first occurrence (1 - distinct/total); ``flagged`` =
+    either ratio over its threshold. Boilerplate- and loop-heavy documents
+    (navigation chrome, degenerate generations) light up both.
+
+    Everything is per-row array arithmetic inside whole-stage codegen — a
+    map-only scan with no shuffle, so it costs one pass at any corpus size.
+    The O(len^2) distinct-gram count per row is bounded by document length,
+    which a real pipeline caps upstream (and is independent of corpus size).
+    """
+    toks = tokens_col(F.lower(F.col("text")))
+    g2, g3 = _word_ngrams(toks, 2), _word_ngrams(toks, 3)
+    n2, n3 = F.size(g2), F.size(g3)
+    top_occ = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda g: F.size(F.filter(g2, lambda x: x == g)),
+        )
+    )
+    top_frac = F.when(
+        n2 > 0, top_occ.cast("double") / n2
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n3 > 0,
+        (n3 - F.size(F.array_distinct(g3))).cast("double") / n3,
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.round(top_frac, 6).alias("top_2gram_frac"),
+        F.round(dup_frac, 6).alias("dup_3gram_frac"),
+        (
+            (F.round(top_frac, 6) > top_frac_threshold)
+            | (F.round(dup_frac, 6) > dup_frac_threshold)
+        ).alias("flagged"),
+    )
+
+
 def token_budget(
     docs: DataFrame, group_cols: tuple[str, ...] = ("split", "source")
 ) -> DataFrame:

@@ -128,3 +128,38 @@ def test_conv_state_json_reference_shape(spark):
         '"heapSize":{"size":100,"total":200},'
         '"generationSizes":{"eden":10,"survivor":11,"old":12,"humongous":13}}'
     )
+
+
+# --- sessionize -------------------------------------------------------------
+
+def test_sessionize_splits_on_gap(spark):
+    from java9_gc_log_parser_spark.operators.aggregate import sessionize
+
+    def t(s):
+        return TS + datetime.timedelta(seconds=s)
+
+    rows = [
+        # conv A: 3 turns, gap of 2h between turn 1 and 2 -> two sessions
+        ("A", 0, "user", "hi", None, t(0)),
+        ("A", 1, "assistant", "yo", None, t(100)),
+        ("A", 2, "user", "back", None, t(100 + 7200)),
+        # conv B: single session
+        ("B", 0, "user", "one", None, t(0)),
+        ("B", 1, "user", "two", None, t(3600)),  # exactly the gap: no split
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r.conv_id, r.session_idx): r
+        for r in sessionize(df, gap_s=3600).collect()
+    }
+    assert set(got) == {("A", 0), ("A", 1), ("B", 0)}
+    assert got[("A", 0)].n_turns == 2
+    assert got[("A", 0)].duration_s == 100
+    assert got[("A", 1)].n_turns == 1
+    assert got[("A", 1)].duration_s == 0
+    assert got[("B", 0)].n_turns == 2
+    assert got[("B", 0)].duration_s == 3600

@@ -161,3 +161,36 @@ def test_ngram_jaccard_blocking_is_equi_join(spark):
     plan = _formatted(ngram_jaccard_pairs(docs, n=1, threshold=0.5))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_redaction_and_repetition_are_map_only(spark, sf_dir):
+    """q35/q36 must stay single-pass scans: all regex/array arithmetic fused
+    into the projection — zero shuffles, zero Python."""
+    import __spark_entry__ as entrymod
+
+    for name in ("q35_pii_redact", "q36_repetition"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_stratified_sample_pushes_group_limit(spark, sf_dir):
+    """One shuffle (by group), and WindowGroupLimit keeps only each map
+    task's local top-N per group before it — the shuffle carries
+    O(groups x N x tasks), not the corpus."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q38_stratified_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_plan_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q34_ann_ivf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny centroid side broadcast

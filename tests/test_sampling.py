@@ -59,3 +59,39 @@ def test_hash_sample_nested_subset(spark):
     # full fraction keeps everything, zero keeps nothing
     assert hash_sample(docs, 1.0).count() == 2000
     assert hash_sample(docs, 0.0).count() == 0
+
+
+# --- stratified_sample ------------------------------------------------------
+
+def _py_bucket4(doc_id: int, salt: str = "v1") -> str:
+    return hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:4]
+
+
+def _strat_docs(spark, n=300):
+    return spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(n)], "doc_id long, source string"
+    )
+
+
+def test_stratified_exact_quota_and_ground_truth(spark):
+    from java9_gc_log_parser_spark.operators.sampling import stratified_sample
+
+    got = stratified_sample(_strat_docs(spark), "source", 7).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert set(by_src) == {"src0", "src1", "src2"}
+    for src, ids in by_src.items():
+        assert len(ids) == 7
+        members = [i for i in range(300) if f"src{i % 3}" == src]
+        want = sorted(members, key=lambda i: (_py_bucket4(i), i))[:7]
+        assert sorted(ids) == sorted(want)
+
+
+def test_stratified_quota_exceeding_group_size(spark):
+    from java9_gc_log_parser_spark.operators.sampling import stratified_sample
+
+    small = spark.createDataFrame(
+        [(1, "only"), (2, "only")], "doc_id long, source string"
+    )
+    assert stratified_sample(small, "source", 10).count() == 2

@@ -131,3 +131,40 @@ def test_attribute_blocking_still_available(spark):
         if lbl[a] == lbl[b] and _py_cos(vecs[a], vecs[b]) >= 0.9
     }
     assert got == want
+
+
+# --- ann_topk_ivf -----------------------------------------------------------
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from java9_gc_log_parser_spark.operators.similarity import ann_topk_ivf
+
+    random.seed(7)
+    rows = [
+        (i, "x", [random.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    e = _embs(spark, rows)
+    exact = ann_topk_bruteforce(e, k=5).collect()
+    full = ann_topk_ivf(e, k=5, n_centroids=4, n_probe=4).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(((r.query_id, r.rank, r.neighbor_id) for r in full)) == sorted(
+        ((r.query_id, r.rank, r.neighbor_id) for r in exact)
+    ), (sorted(full, key=key), sorted(exact, key=key))
+
+
+def test_ivf_partial_probe_recall(spark):
+    from java9_gc_log_parser_spark.operators.similarity import ann_topk_ivf
+
+    random.seed(11)
+    rows = [
+        (i, "x", [random.uniform(-1, 1) for _ in range(8)]) for i in range(240)
+    ]
+    e = _embs(spark, rows)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in ann_topk_bruteforce(e, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_ivf(e, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # half the cells probed; seed-pinned bound

@@ -118,3 +118,42 @@ def test_token_budget_groups_and_means(spark):
         ("train", "a"): (2, 5, 2.5),
         ("train", "b"): (2, 1, 0.5),  # blank text counts 0 tokens
     }
+
+
+# --- repetition_stats (Gopher-style intra-doc repetition gate) -------------
+
+def test_repetition_known_answer(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    # "a b a b a b": 2-grams [ab,ba,ab,ba,ab] -> top 3/5; 3-grams
+    # [aba,bab,aba,bab] -> dup (4-2)/4
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "w x y z q r")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert abs(got[0].top_2gram_frac - 0.6) < 1e-9
+    assert abs(got[0].dup_3gram_frac - 0.5) < 1e-9
+    assert got[0].flagged
+    assert abs(got[1].top_2gram_frac - 0.2) < 1e-9  # all distinct: 1/5
+    assert got[1].dup_3gram_frac == 0.0
+    assert not got[1].flagged
+
+
+def test_repetition_degenerate_docs(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "two words")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for d in (0, 1):  # fewer than 2 tokens: no grams at all
+        assert got[d].top_2gram_frac == 0.0
+        assert got[d].dup_3gram_frac == 0.0
+        assert not got[d].flagged
+    assert got[2].top_2gram_frac == 1.0  # exactly one 2-gram
+    assert got[2].dup_3gram_frac == 0.0
+    assert got[2].flagged
