@@ -429,6 +429,38 @@ def q38_stratified_sample(spark, sf_dir):
     )
 
 
+def q39_jsonl_source(spark, sf_dir):
+    """Second source format through the storage seam (S1 variant): the same
+    transcripts written to JSONL, read back with an explicit schema, parsed
+    and classified — must equal the parquet-path q01 (same oracle SQL)."""
+    import shutil
+
+    from java9_gc_log_parser_spark.storage import (
+        TableRef,
+        read_table,
+        write_table,
+    )
+
+    root = _scratch(sf_dir, "q39")
+    shutil.rmtree(root, ignore_errors=True)
+    ref = TableRef(f"{root}/transcripts", format="jsonl", schema=_INPUT_SCHEMA)
+    write_table(synth_transcripts(spark, sf_dir), ref)
+    return (
+        parse_lines(read_table(spark, ref))
+        .groupBy("event_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q40_corpus_filter(spark, sf_dir):
+    """Composite accept/reject curation gate (quality + repetition + lang +
+    length) in one map-only projection; oracle re-derives each check from
+    the q15/q36/q16 metric SQL and applies the identical rule."""
+    from java9_gc_log_parser_spark.operators.text_analysis import corpus_filter
+
+    return corpus_filter(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -975,7 +1007,22 @@ SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM (
   )
 ) WHERE rk <= 5
 """,
-        "q36_repetition": _DTOK + """
+        "q36_repetition": None,  # assigned below from the shared CTE pieces
+        "q38_stratified_sample": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4),
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10
+""",
+    }
+)
+
+# repetition CTEs (q36), shared with the composite gate oracle (q40)
+_REP_CTES = """
 , grams AS (
   SELECT doc_id,
     list_transform(range(1, greatest(len(ltoks), 1)),
@@ -997,22 +1044,38 @@ fr AS (
       ELSE 0.0 END, 6) AS dup_3gram_frac
   FROM grams
 )
+"""
+
+_ORACLES["q36_repetition"] = _DTOK + _REP_CTES + """
 SELECT doc_id, top_2gram_frac, dup_3gram_frac,
        (top_2gram_frac > 0.20 OR dup_3gram_frac > 0.20) AS flagged
 FROM fr
-""",
-        "q38_stratified_sample": """
-SELECT doc_id, source FROM (
-  SELECT doc_id, source,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4),
-                    doc_id) AS rk
-  FROM documents
-) WHERE rk <= 10
-""",
-    }
+"""
+
+# q40 composes the q15 (quality) and q16 (lang) oracle bodies verbatim —
+# zero drift between the gate and the metrics it gates on
+_Q15_BODY = _ORACLES["q15_text_quality"].removeprefix(_DTOK)
+_Q16_BODY = _ORACLES["q16_lang_id"].removeprefix(_DTOK)
+_ORACLES["q40_corpus_filter"] = _DTOK + _REP_CTES + f"""
+, q AS ({_Q15_BODY}),
+l AS ({_Q16_BODY}),
+rs AS (
+  SELECT dtok.doc_id,
+    concat_ws(',',
+      CASE WHEN q.quality_score < 0.5 THEN 'low_quality' END,
+      CASE WHEN fr.top_2gram_frac > 0.20 OR fr.dup_3gram_frac > 0.20
+           THEN 'repetitive' END,
+      CASE WHEN l.pred_lang NOT IN ('en') THEN 'lang' END,
+      CASE WHEN len(dtok.toks) < 5 THEN 'too_short' END) AS reasons
+  FROM dtok
+  JOIN q ON q.doc_id = dtok.doc_id
+  JOIN fr ON fr.doc_id = dtok.doc_id
+  JOIN l ON l.doc_id = dtok.doc_id
 )
+SELECT doc_id, (reasons = '') AS keep, reasons FROM rs
+"""
+
+_ORACLES["q39_jsonl_source"] = _ORACLES["q01_parse_classify"]
 
 from java9_gc_log_parser_spark.operators.redact import (  # noqa: E402
     redaction_oracle_sql,
@@ -1095,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_repetition": q36_repetition,
         "q37_sessionize": q37_sessionize,
         "q38_stratified_sample": q38_stratified_sample,
+        "q39_jsonl_source": q39_jsonl_source,
+        "q40_corpus_filter": q40_corpus_filter,
     }
 
 

@@ -50,9 +50,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Length/alpha/stopword-ratio quality score (0..1, rounded 6dp)."""
-    text = F.col("text")
+def _quality_cols(text: Column) -> tuple[Column, Column, Column]:
+    """(alpha_ratio, stopword_ratio, quality_score), each rounded to 6dp —
+    shared by :func:`quality_score` and :func:`corpus_filter` so the gate
+    can never drift from the reported metric."""
     n_chars = F.length(text).cast("double")
     alpha_ratio = F.when(
         n_chars > 0,
@@ -66,37 +67,49 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).otherwise(F.lit(0.0))
     length_term = F.least(F.lit(1.0), n_chars / F.lit(200.0))
     score = 0.5 * alpha_ratio + 0.3 * (1.0 - stop_ratio) + 0.2 * length_term
+    return F.round(alpha_ratio, 6), F.round(stop_ratio, 6), F.round(score, 6)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/alpha/stopword-ratio quality score (0..1, rounded 6dp)."""
+    alpha_ratio, stop_ratio, score = _quality_cols(F.col("text"))
     return docs.select(
         "doc_id",
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-token voting language heuristic; deterministic tie-break by
-    (hits desc, lang asc); no hits -> 'unknown'."""
-    toks = tokens_col(F.lower(F.col("text")))
-
+def _lang_hits(ltoks: Column) -> dict[str, Column]:
     def _hits(markers):
         # NB: the closure must stay 1-arity — a 2-param lambda would be
         # interpreted by F.filter as an (element, index) lambda
-        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+        return F.size(F.filter(ltoks, lambda t: t.isin(*markers))).cast("long")
 
-    hits_by_lang = {
+    return {
         lang: _hits(markers) for lang, markers in sorted(LANG_MARKERS.items())
     }
+
+
+def _lang_pred(hits_by_lang: dict[str, Column]) -> Column:
     max_hits = F.greatest(*hits_by_lang.values())
     pred = F.lit("unknown")
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(
             (hits_by_lang[lang] == max_hits) & (max_hits > 0), lang
         ).otherwise(pred)
+    return pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token voting language heuristic; deterministic tie-break by
+    (hits desc, lang asc); no hits -> 'unknown'."""
+    hits_by_lang = _lang_hits(tokens_col(F.lower(F.col("text"))))
     return docs.select(
         "doc_id",
         *[hits_by_lang[lang].alias(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
-        pred.alias("pred_lang"),
+        _lang_pred(hits_by_lang).alias("pred_lang"),
     )
 
 
@@ -141,6 +154,27 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def _repetition_cols(ltoks: Column) -> tuple[Column, Column]:
+    """(top_2gram_frac, dup_3gram_frac), rounded to 6dp — shared by
+    :func:`repetition_stats` and :func:`corpus_filter`."""
+    g2, g3 = _word_ngrams(ltoks, 2), _word_ngrams(ltoks, 3)
+    n2, n3 = F.size(g2), F.size(g3)
+    top_occ = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda g: F.size(F.filter(g2, lambda x: x == g)),
+        )
+    )
+    top_frac = F.when(
+        n2 > 0, top_occ.cast("double") / n2
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n3 > 0,
+        (n3 - F.size(F.array_distinct(g3))).cast("double") / n3,
+    ).otherwise(F.lit(0.0))
+    return F.round(top_frac, 6), F.round(dup_frac, 6)
+
+
 def repetition_stats(
     docs: DataFrame,
     top_frac_threshold: float = 0.20,
@@ -159,30 +193,58 @@ def repetition_stats(
     The O(len^2) distinct-gram count per row is bounded by document length,
     which a real pipeline caps upstream (and is independent of corpus size).
     """
-    toks = tokens_col(F.lower(F.col("text")))
-    g2, g3 = _word_ngrams(toks, 2), _word_ngrams(toks, 3)
-    n2, n3 = F.size(g2), F.size(g3)
-    top_occ = F.array_max(
-        F.transform(
-            F.array_distinct(g2),
-            lambda g: F.size(F.filter(g2, lambda x: x == g)),
-        )
-    )
-    top_frac = F.when(
-        n2 > 0, top_occ.cast("double") / n2
-    ).otherwise(F.lit(0.0))
-    dup_frac = F.when(
-        n3 > 0,
-        (n3 - F.size(F.array_distinct(g3))).cast("double") / n3,
-    ).otherwise(F.lit(0.0))
+    top_frac, dup_frac = _repetition_cols(tokens_col(F.lower(F.col("text"))))
     return docs.select(
         "doc_id",
-        F.round(top_frac, 6).alias("top_2gram_frac"),
-        F.round(dup_frac, 6).alias("dup_3gram_frac"),
+        top_frac.alias("top_2gram_frac"),
+        dup_frac.alias("dup_3gram_frac"),
         (
-            (F.round(top_frac, 6) > top_frac_threshold)
-            | (F.round(dup_frac, 6) > dup_frac_threshold)
+            (top_frac > top_frac_threshold) | (dup_frac > dup_frac_threshold)
         ).alias("flagged"),
+    )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    top_frac_threshold: float = 0.20,
+    dup_frac_threshold: float = 0.20,
+) -> DataFrame:
+    """Composite accept/reject gate: quality score, repetition, language and
+    length in ONE map-only projection (``filter(keep)`` is the cleaned
+    corpus; ``reasons`` explains every rejection for curation audits).
+
+    Deliberately NOT a join of the individual metric operators — those are
+    all projections over the same scan, so composing them by ``doc_id`` join
+    would turn a zero-shuffle pass into three scans plus two shuffles at
+    100 TB. The shared ``_*_cols`` builders guarantee the gate applies
+    byte-identical metric arithmetic to what q15/q36/q16 report.
+
+    Rejection reasons, in fixed order: ``low_quality``, ``repetitive``,
+    ``lang``, ``too_short``. ``keep`` == no reason fired.
+    """
+    text = F.col("text")
+    ltoks = tokens_col(F.lower(text))
+    _, _, score = _quality_cols(text)
+    top_frac, dup_frac = _repetition_cols(ltoks)
+    pred = _lang_pred(_lang_hits(ltoks))
+    n_toks = F.size(tokens_col(text))
+    reasons = F.concat_ws(
+        ",",
+        F.when(score < min_quality, F.lit("low_quality")),
+        F.when(
+            (top_frac > top_frac_threshold) | (dup_frac > dup_frac_threshold),
+            F.lit("repetitive"),
+        ),
+        F.when(~pred.isin(*allowed_langs), F.lit("lang")),
+        F.when(n_toks < min_tokens, F.lit("too_short")),
+    )
+    return docs.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
     )
 
 

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 PARQUET = "parquet"
 ICEBERG = "iceberg"
+JSONL = "jsonl"
+CSV = "csv"
 
 
 @dataclass(frozen=True)
@@ -31,6 +33,10 @@ class TableRef:
     format: str = PARQUET
     #: partition columns the table is (to be) laid out by
     partition_by: tuple[str, ...] = field(default=())
+    #: DDL schema string for schemaless text formats (jsonl/csv) — REQUIRED
+    #: for those: schema inference is a full extra pass over the data and is
+    #: non-deterministic under sampling at 100 TB
+    schema: str | None = None
 
 
 def _as_ref(table: TableRef | str) -> TableRef:
@@ -43,6 +49,21 @@ def read_table(spark: SparkSession, table: TableRef | str) -> DataFrame:
         # catalog-resolved name; snapshot options (as-of, incremental) would
         # be threaded here
         return spark.read.format(ICEBERG).load(ref.location)
+    if ref.format in (JSONL, CSV):
+        if ref.schema is None:
+            raise ValueError(
+                f"{ref.format} table {ref.location!r} needs an explicit "
+                "schema (inference costs an extra full pass at scale)"
+            )
+        reader = spark.read.schema(ref.schema)
+        if ref.format == JSONL:
+            # ISO-8601 with micros, matching write_table's output
+            return reader.option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).json(ref.location)
+        return reader.option("header", True).option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).csv(ref.location)
     import os
 
     reader = spark.read
@@ -64,6 +85,16 @@ def write_table(
         writer = writer.partitionBy(*ref.partition_by)
     if ref.format == ICEBERG:
         writer.format(ICEBERG).saveAsTable(ref.location)
+        return
+    if ref.format == JSONL:
+        writer.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).json(ref.location)
+        return
+    if ref.format == CSV:
+        writer.option("header", True).option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).csv(ref.location)
         return
     writer.parquet(ref.location)
 

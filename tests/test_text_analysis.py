@@ -157,3 +157,52 @@ def test_repetition_degenerate_docs(spark):
     assert got[2].top_2gram_frac == 1.0  # exactly one 2-gram
     assert got[2].dup_3gram_frac == 0.0
     assert got[2].flagged
+
+
+# --- corpus_filter (composite curation gate) --------------------------------
+
+def test_corpus_filter_reasons_and_keep(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import corpus_filter
+
+    docs = spark.createDataFrame(
+        [
+            # long, varied, stopword-bearing english: keeps
+            (0, "the fast table scan joins a sorted merge of rows and keys "
+                "over the wide partitioned data files in the warehouse "
+                "while the planner prunes each column block it never needs"),
+            (1, "a b a b a b a b"),          # repetitive + short-ish
+            (2, "le la et vite le la et vite allez bon jour mes amis oui"),  # fr
+            (3, "ok"),                        # too short
+            (4, ""),                          # empty: several checks fire
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in corpus_filter(docs).collect()}
+    assert got[0].keep and got[0].reasons == ""
+    assert not got[1].keep and "repetitive" in got[1].reasons
+    assert not got[2].keep and "lang" in got[2].reasons
+    assert not got[3].keep and "too_short" in got[3].reasons
+    assert not got[4].keep
+    assert "low_quality" in got[4].reasons and "too_short" in got[4].reasons
+
+
+def test_corpus_filter_matches_individual_metrics(spark, sf_dir):
+    """The gate must agree with the standalone metric operators it gates on
+    (shared column builders — this pins the no-drift guarantee)."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        corpus_filter,
+        lang_id,
+        quality_score,
+        repetition_stats,
+    )
+    from java9_gc_log_parser_spark.storage import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    gate = {r.doc_id: r for r in corpus_filter(docs).collect()}
+    q = {r.doc_id: r.quality_score for r in quality_score(docs).collect()}
+    rep = {r.doc_id: r.flagged for r in repetition_stats(docs).collect()}
+    lang = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    for d, row in gate.items():
+        assert ("low_quality" in row.reasons) == (q[d] < 0.5), d
+        assert ("repetitive" in row.reasons) == rep[d], d
+        assert ("lang" in row.reasons) == (lang[d] != "en"), d
