@@ -154,19 +154,75 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
-def _repetition_cols(ltoks: Column) -> tuple[Column, Column]:
-    """(top_2gram_frac, dup_3gram_frac), rounded to 6dp — shared by
-    :func:`repetition_stats` and :func:`corpus_filter`."""
-    g2, g3 = _word_ngrams(ltoks, 2), _word_ngrams(ltoks, 3)
-    n2, n3 = F.size(g2), F.size(g3)
-    top_occ = F.array_max(
-        F.transform(
-            F.array_distinct(g2),
-            lambda g: F.size(F.filter(g2, lambda x: x == g)),
-        )
+#: staging columns for the repetition metrics (bound-intermediate pattern —
+#: same rationale as the parse cascade's expression-shape note)
+_REP_TOKS, _REP_G2, _REP_G3 = "_rep_toks", "_rep_g2", "_rep_g3"
+
+
+def _top_occurrence_count(g: Column) -> Column:
+    """Occurrence count of the most frequent element of ``g`` (0 if empty).
+
+    Sort, then max equal-adjacent run length via one ``aggregate`` fold:
+    O(n log n) per row with lambdas touching only bound lambda variables.
+    The naive shape — ``transform(array_distinct(g), d -> size(filter(g,
+    x -> x = d)))`` — is O(distinct x n), and worse: Spark's higher-order
+    functions are interpreted and a lambda *captures the outer expression
+    tree, not a materialized value*, so each of the ``distinct`` lambda
+    elements re-derived ``g`` all the way from the raw text (tokenize +
+    ngram build). Measured ~60 ms/doc at sf0.1 (one 5000-doc partition ran
+    minutes); this shape is microseconds.
+    """
+
+    def _run(acc: Column, x: Column) -> Column:
+        # null prev (first element) compares null -> otherwise() -> 1
+        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+
+    return F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
+
+
+def _stage_ngrams(docs: DataFrame) -> DataFrame:
+    """Bind lowercase tokens and word 2-/3-grams as real columns.
+
+    Each staged column is referenced >=2x downstream, so CollapseProject
+    keeps the producer as its own project stage instead of re-inlining the
+    (non-cheap) tokenize/ngram subtree into every consumer — and lambda
+    bodies downstream capture a bound attribute, not an expression tree.
+    Still map-only; adds no shuffle.
+    """
+    clash = [c for c in docs.columns if c.startswith("_rep_")]
+    if clash:
+        raise ValueError(
+            f"input carries reserved staging column(s) {clash}; rename them"
+        )
+    toks = F.col(_REP_TOKS)
+    return docs.withColumn(
+        _REP_TOKS, tokens_col(F.lower(F.col("text")))
+    ).withColumns(
+        {_REP_G2: _word_ngrams(toks, 2), _REP_G3: _word_ngrams(toks, 3)}
+    )
+
+
+def _repetition_cols() -> tuple[Column, Column]:
+    """(top_2gram_frac, dup_3gram_frac), rounded to 6dp, over the staged
+    ngram columns (:func:`_stage_ngrams` must have run) — shared by
+    :func:`repetition_stats` and :func:`corpus_filter`."""
+    g2, g3 = F.col(_REP_G2), F.col(_REP_G3)
+    n2, n3 = F.size(g2), F.size(g3)
     top_frac = F.when(
-        n2 > 0, top_occ.cast("double") / n2
+        n2 > 0, _top_occurrence_count(g2).cast("double") / n2
     ).otherwise(F.lit(0.0))
     dup_frac = F.when(
         n3 > 0,
@@ -188,12 +244,14 @@ def repetition_stats(
     either ratio over its threshold. Boilerplate- and loop-heavy documents
     (navigation chrome, degenerate generations) light up both.
 
-    Everything is per-row array arithmetic inside whole-stage codegen — a
-    map-only scan with no shuffle, so it costs one pass at any corpus size.
-    The O(len^2) distinct-gram count per row is bounded by document length,
-    which a real pipeline caps upstream (and is independent of corpus size).
+    Everything is per-row array arithmetic — a map-only scan with no
+    shuffle, so it costs one pass at any corpus size. Per-row cost is
+    O(len log len) (sorted-run top-gram count over staged ngram columns;
+    see :func:`_top_occurrence_count` for why the naive nested-lambda shape
+    was quadratic *and* re-derived the ngrams per element).
     """
-    top_frac, dup_frac = _repetition_cols(tokens_col(F.lower(F.col("text"))))
+    docs = _stage_ngrams(docs)
+    top_frac, dup_frac = _repetition_cols()
     return docs.select(
         "doc_id",
         top_frac.alias("top_2gram_frac"),
@@ -225,10 +283,11 @@ def corpus_filter(
     Rejection reasons, in fixed order: ``low_quality``, ``repetitive``,
     ``lang``, ``too_short``. ``keep`` == no reason fired.
     """
+    docs = _stage_ngrams(docs)
     text = F.col("text")
-    ltoks = tokens_col(F.lower(text))
+    ltoks = F.col(_REP_TOKS)
     _, _, score = _quality_cols(text)
-    top_frac, dup_frac = _repetition_cols(ltoks)
+    top_frac, dup_frac = _repetition_cols()
     pred = _lang_pred(_lang_hits(ltoks))
     n_toks = F.size(tokens_col(text))
     reasons = F.concat_ws(
