@@ -174,6 +174,18 @@ def test_redaction_and_repetition_are_map_only(spark, sf_dir):
         assert "Exchange" not in plan, name
         assert "BatchEvalPython" not in plan, name
 
+    # Regression guard for the staged-ngram shape: the tokenizer must run
+    # exactly once per row (the _rep_toks producer). If CollapseProject ever
+    # re-inlines the staging columns, the split() subtree reappears inside
+    # every consumer — and inside interpreted lambda bodies, where it is
+    # re-evaluated PER ELEMENT (the quadratic blowup fixed in
+    # text_analysis._top_occurrence_count).
+    plan = (
+        entrymod.queries()["q36_repetition"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("split(") == 1
+
 
 def test_stratified_sample_pushes_group_limit(spark, sf_dir):
     """One shuffle (by group), and WindowGroupLimit keeps only each map
