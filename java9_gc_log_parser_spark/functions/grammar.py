@@ -77,13 +77,15 @@ EVENT_CLASSES = (
 # "[" offset "]" level "[" tag+ "]" opt(eventId)
 # groups: 1=int-part 2=frac-part 3=unit 4=level 5=raw tag list 6=event id 7=body
 _TAG_ALT = "|".join(TAGS)
-HEADER_RE = (
+#: header WITHOUT the trailing body capture — shared by HEADER_RE (two-pass
+#: variants: Arrow twin, oracle SQL) and COMBINED_RE (single-pass JVM parse)
+HEADER_PREFIX_RE = (
     r"^\s*\[\s*(\d+)(?:\.(\d+))?(ms|s)\s*\]\s*"
     r"\[\s*(info|warn)\s*\]\s*"
     rf"\[\s*((?:{_TAG_ALT})(?:\s*,\s*(?:{_TAG_ALT}))*\s*,?)\s*\]\s*"
     r"(?:GC\(\s*(\d+)\s*\))?\s*"
-    r"(.*)$"
 )
+HEADER_RE = HEADER_PREFIX_RE + r"(.*)$"
 
 # --- body productions, in lineDesc alternation order -------------------------
 _PTYPE_ALT = "Full|Mixed|Cleanup|Young|Initial Mark|Remark"
@@ -134,23 +136,32 @@ def _unanchored(regex: str) -> str:
     return regex[1:]
 
 
-MEGA_BODY_RE = (
-    "^(?:"
-    + "|".join(
-        [
-            _unanchored(NR_REGIONS_RE),
-            _unanchored(PAUSE_END_RE),
-            _unanchored(PAUSE_START_RE),
-            "(Concurrent Cycle)",
-            "(To-space exhausted)",
-            "(Using G1)",
-            _unanchored(REGION_SIZE_RE),
-            _unanchored(PHASE_RE),
-        ]
-    )
-    + ")"
+_BODY_ALT = "|".join(
+    [
+        _unanchored(NR_REGIONS_RE),
+        _unanchored(PAUSE_END_RE),
+        _unanchored(PAUSE_START_RE),
+        "(Concurrent Cycle)",
+        "(To-space exhausted)",
+        "(Using G1)",
+        _unanchored(REGION_SIZE_RE),
+        _unanchored(PHASE_RE),
+    ]
 )
+MEGA_BODY_RE = "^(?:" + _BODY_ALT + ")"
 MEGA_BODY_GROUPS = 21
+
+# Single-pass line grammar: header prefix + OPTIONAL body alternation, ONE
+# engine pass per line. Groups 1-6 = header (time int/frac/unit, level, tags,
+# event id); groups 7-27 = the 21 body groups in cascade order. The body is
+# optional so "header ok, body unmatched" still matches (all body groups
+# substitute as '') and classifies as body_mismatch downstream; a header
+# mismatch fails the whole regex. Every body production has at least one
+# mandatory non-empty capture, so body participation is detectable from the
+# groups alone. Alternation order is preserved, so first-match-wins equals
+# the reference's lineDesc cascade exactly as in the two-pass variant.
+COMBINED_RE = HEADER_PREFIX_RE + "(?:" + _BODY_ALT + ")?"
+COMBINED_GROUPS = 6 + MEGA_BODY_GROUPS
 
 # Ordered cascade: (event_class, body_regex). First match wins.
 BODY_CASCADE = (

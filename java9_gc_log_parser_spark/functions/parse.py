@@ -79,53 +79,43 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     text = F.col(text_col)
 
-    # --- stage 1: header, ONE regex pass ------------------------------------
+    # --- stages 1+2: header + body, ONE regex pass ---------------------------
     # regexp_extract runs the engine once per GROUP; instead regexp_replace
-    # rewrites a matching line to its 7 groups packed on a separator, and a
-    # limit-7 split recovers them (non-participating optional groups pack as
-    # ''). A non-matching line passes through unchanged, so "split produced
-    # exactly 7 fields" detects the match — guarded by "the raw text does not
-    # itself contain the separator": \x01 is not printable and cannot occur
-    # in a valid JVM log line; a line carrying it is conservatively demoted
-    # to unmatched rather than risking field corruption.
+    # rewrites a matching line to COMBINED_RE's 27 groups (6 header + 21
+    # body, grammar.py layout) packed on a separator, and a limit-28 split
+    # recovers them (non-participating optional groups pack as ''). The body
+    # alternation is optional inside COMBINED_RE, so a valid header with an
+    # unrecognized body still matches with all body groups '' (classified
+    # body_mismatch below); a header mismatch fails the whole regex and the
+    # line passes through regexp_replace unchanged, so "split produced
+    # exactly 28 fields" detects the match — guarded by "the raw text does
+    # not itself contain the separator": \x01 is not printable and cannot
+    # occur in a valid JVM log line; a line carrying it is conservatively
+    # demoted to unmatched rather than risking field corruption. The
+    # productions are prefix-matchers (no $ anchor): the replacement template
+    # ends with a separator so the line's unconsumed tail lands in field 28
+    # and is discarded. One pass (vs header pass + body pass) halves the
+    # per-row regex scans and intermediate string allocations — the parse is
+    # allocation-bound, so this is both a throughput and a scaling win.
     sep = "\x01"
-    hdr_repl = sep.join(f"${i}" for i in range(1, 8))
+    n_groups = G.COMBINED_GROUPS
+    repl = sep.join(f"${i}" for i in range(1, n_groups + 1)) + sep
     df = df.withColumn(
-        "_hp", F.split(F.regexp_replace(text, _H, hdr_repl), sep, 7)
+        "_hp",
+        F.split(F.regexp_replace(text, G.COMBINED_RE, repl), sep, n_groups + 1),
     )
-    hdr_ok = (F.size("_hp") == 7) & ~text.contains(sep)
+    hdr_ok = (F.size("_hp") == n_groups + 1) & ~text.contains(sep)
     df = df.withColumns(
         {
             f"_h{i}": F.when(hdr_ok, F.element_at("_hp", i)).otherwise("")
             for i in range(1, 7)
         }
-        | {"_body": F.when(hdr_ok, F.element_at("_hp", 7)).otherwise("")}
     )
     h_int, h_frac, h_unit = F.col("_h1"), F.col("_h2"), F.col("_h3")
     header_ok = h_int != ""
-    body = F.col("_body")
-
-    # --- stages 2+3: body classification + groups, ONE regex pass -----------
-    # MEGA_BODY_RE alternates every production in cascade order (see
-    # grammar.py for the fixed 21-group layout); the same pack/split trick
-    # recovers all groups of whichever production matched first. The
-    # productions are prefix-matchers (no $ anchor): the replacement template
-    # ends with a separator so the line's unconsumed tail lands in field 22
-    # and is discarded by the split limit. `_body` is derived from a
-    # separator-free text, so field-count detection is exact here.
-    body_repl = sep.join(f"${i}" for i in range(1, G.MEGA_BODY_GROUPS + 1)) + sep
-    df = df.withColumn(
-        "_bp",
-        F.split(
-            F.regexp_replace(body, G.MEGA_BODY_RE, body_repl),
-            sep,
-            G.MEGA_BODY_GROUPS + 1,
-        ),
-    )
-    bp_ok = F.size("_bp") == G.MEGA_BODY_GROUPS + 1
 
     def _p(i: int) -> Column:
-        return F.when(bp_ok, F.element_at("_bp", i)).otherwise("")
+        return F.when(hdr_ok, F.element_at("_hp", 6 + i)).otherwise("")
 
     df = df.withColumns(
         {
@@ -289,7 +279,7 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     staging = (
         [f"_h{i}" for i in range(1, 7)]
-        + ["_hp", "_bp", "_body", "_nr1", "_e3", "_s1", "_rs1", "_ph2",
+        + ["_hp", "_nr1", "_e3", "_s1", "_rs1", "_ph2",
            "_is_cc", "_is_ts", "_is_g1", "_nr2", "_nr3", "_e1", "_e2", "_e4",
            "_e5", "_e6", "_e7", "_e8", "_s2", "_ph1", "_ph3", "_ph4",
            "_gclass", "_unl", "_ovfl"]

@@ -149,7 +149,19 @@ def assembled_pauses(filtered: DataFrame) -> DataFrame:
     RemarkPause carries no generation sizes (``CollectPauseLines.scala:34-40``)
     -> region columns are nulled even if region lines appeared in the group.
     """
-    g = assemble_groups(filtered).filter(F.col("verdict") == "ok")
+    return assembled_pauses_from_groups(assemble_groups(filtered))
+
+
+def assembled_pauses_from_groups(groups: DataFrame) -> DataFrame:
+    """Pause table from a (possibly pre-materialized) assemble_groups output.
+
+    The split lets the pipeline compute the assembly shuffle ONCE, persist it
+    through the storage seam, and derive both the pause table and the
+    dead-letter table (plus every downstream rollup) from the materialized
+    groups — at 10^12-turn scale the assembly output is an Iceberg
+    intermediate, never recomputed per rollup.
+    """
+    g = groups.filter(F.col("verdict") == "ok")
     is_remark = F.col("pause_type") == "Remark"
     for r in REGIONS:
         c = f"{r.lower()}_after"
@@ -160,7 +172,12 @@ def assembled_pauses(filtered: DataFrame) -> DataFrame:
 def assembly_dead_letters(filtered: DataFrame) -> DataFrame:
     """Invalid groups -> dead-letter rows with reference-parity messages
     (``CollectPauseLines.scala:31-32,42-43``)."""
-    g = assemble_groups(filtered).filter(
+    return assembly_dead_letters_from_groups(assemble_groups(filtered))
+
+
+def assembly_dead_letters_from_groups(groups: DataFrame) -> DataFrame:
+    """Dead-letter rows from a (possibly pre-materialized) groups table."""
+    g = groups.filter(
         F.col("verdict").isin("end_before_start", "missing_regions")
     )
     present = F.concat_ws(

@@ -29,7 +29,11 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.parse import parse_lines
 from ..storage import TableRef, read_table, write_table
-from ..operators.assemble import assembled_pauses, assembly_dead_letters
+from ..operators.assemble import (
+    assemble_groups,
+    assembled_pauses_from_groups,
+    assembly_dead_letters_from_groups,
+)
 from ..operators.aggregate import (
     bucket_pause_stats,
     bucket_turn_counts,
@@ -38,6 +42,13 @@ from ..operators.aggregate import (
     duration_histogram,
 )
 from ..operators.route import route, supported_types_filter
+
+
+def _sibling(table: TableRef | str, suffix: str) -> TableRef | str:
+    """Derive a sibling storage location (e.g. the assembled-groups table)."""
+    if isinstance(table, TableRef):
+        return TableRef(table.location.rstrip("/") + suffix, table.format)
+    return table.rstrip("/") + suffix
 
 
 def build(
@@ -58,17 +69,27 @@ def build(
     ``persist`` — when given, ``persist`` is ignored.
     """
     parsed = parse_lines(transcripts)
+    groups = None
     if materialize_table is not None:
         spark = transcripts.sparkSession
         write_table(parsed, materialize_table)
         parsed = read_table(spark, materialize_table)
+        # materialize the assembly output too: six sinks (pause table,
+        # dead letter, conv-state final/scan, bucket pauses, histogram)
+        # otherwise each re-run the scan+filter+assembly shuffle — at
+        # 10^12 turns the assembled groups are an Iceberg intermediate
+        # written once (and ~100x smaller than the parsed table)
+        gref = _sibling(materialize_table, "__groups")
+        write_table(assemble_groups(supported_types_filter(parsed)), gref)
+        groups = read_table(spark, gref)
     elif persist:
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
     sinks = route(parsed)
-    filtered = supported_types_filter(parsed)
-    assembled = assembled_pauses(filtered)
-    dead = assembly_dead_letters(filtered)
+    if groups is None:
+        groups = assemble_groups(supported_types_filter(parsed))
+    assembled = assembled_pauses_from_groups(groups)
+    dead = assembly_dead_letters_from_groups(groups)
 
     # unified dead-letter sink: grammar-unmatched rows + assembly-error groups
     # (FIXTURES.md §3 unmatched sink definition)

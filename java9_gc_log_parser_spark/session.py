@@ -58,6 +58,18 @@ def get_spark(
         # thing it buys is inferred IsNotNull/join filters -- all our joins
         # are broadcast dim lookups, so the trade is strictly good here.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # Scan-split sizing. The 128 MB default packs this sandbox's small
+        # snappy-parquet files (5-10 MB each) into a handful of splits — a
+        # 445 MB input becomes 6 scan tasks, idling most cores through the
+        # scan-heavy parse stage (measured: the parse phase is ~80% of
+        # pipeline wall). 16 MB splits + 8 MB open-cost keep roughly one
+        # file per task, giving every parallelism level multiple waves of
+        # work. At real 100 TB scale the 128 MB default is already ~800k
+        # tasks, so a cluster deployment overrides these via extra_conf /
+        # spark-submit --conf; they only matter when total input is small
+        # relative to cores x split size.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.driver.memory",
