@@ -35,11 +35,18 @@ all classification/typing logic downstream references only those cheap
 attributes. Collapsing everything into one Project would inline the
 class-resolution subtree (itself ~20 regex ops) into each of the ~15
 dependent output columns; Catalyst keeps multiply-referenced non-cheap
-producers as separate project stages, and codegen still fuses the whole
-chain into one stage. Class flags come from mandatory capture groups
-(``group != ''``) so no production pays both an ``rlike`` and an extract;
-class-specific groups are guarded by their flag so non-matching rows skip
-the matcher entirely.
+producers as separate project stages. Class flags come from mandatory
+capture groups (``group != ''``) so no production pays both an ``rlike``
+and an extract; class-specific groups are guarded by their flag so
+non-matching rows skip the matcher entirely.
+
+Execution-mode note (measured 4.3x): fusing the whole cascade into one
+whole-stage-codegen span generates a single consume method far past
+HotSpot's 8000-bytecode JIT ceiling (DontCompileHugeMethods), so it runs as
+*interpreted bytecode* — 58 s for 15M turns at 8 cores vs 13.3 s for
+Spark's interpreted-expression fallback. ``session.get_spark`` therefore
+sets ``spark.sql.codegen.hugeMethodLimit=8000`` so exactly such stages fall
+back; narrow stages elsewhere in the pipeline keep codegen.
 """
 
 from __future__ import annotations
@@ -70,7 +77,7 @@ def _dur_ms(i: Column, f: Column, unit: Column) -> Column:
 
 def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the wide parse-struct columns to ``df`` (staged cascade; see
-    module expression-shape note). Codegen fuses all stages into one span."""
+    module expression-shape and execution-mode notes)."""
     clash = [c for c in df.columns if c.startswith("_")]
     if clash:
         raise ValueError(
@@ -104,7 +111,13 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         "_hp",
         F.split(F.regexp_replace(text, G.COMBINED_RE, repl), sep, n_groups + 1),
     )
-    hdr_ok = (F.size("_hp") == n_groups + 1) & ~text.contains(sep)
+    # Bound ONCE: inlining this into each of the 27 group extractions would
+    # re-scan `text` for the separator 27x per row (contains is O(len), and
+    # expression-level CSE does not span the staged projections).
+    df = df.withColumn(
+        "_hok", (F.size("_hp") == n_groups + 1) & ~text.contains(sep)
+    )
+    hdr_ok = F.col("_hok")
     df = df.withColumns(
         {
             f"_h{i}": F.when(hdr_ok, F.element_at("_hp", i)).otherwise("")
@@ -230,13 +243,23 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         h_unit == "s", h_int.try_cast("long") * 1000 + frac3.cast("long")
     ).otherwise(h_int.try_cast("long"))
 
-    tags = F.array_sort(
-        F.array_distinct(
-            F.filter(
-                F.split(F.regexp_replace(F.col("_h5"), r"\s+", ""), ","),
-                lambda x: x != "",
-            )
-        )
+    # Distinct+sorted tag array WITHOUT higher-order functions: HOFs
+    # (array_sort/array_distinct/filter with a lambda) are CodegenFallback,
+    # and ONE such expression evicts the ENTIRE wide output projection from
+    # whole-stage codegen into interpreted per-row eval — measured ~10x on
+    # the full parse (52.9s -> ~5s for 15M turns at 8 cores). The tag
+    # vocabulary is closed (grammar.TAGS), so membership tests + concat_ws
+    # in alphabetical order rebuild the same distinct-sorted array from
+    # codegen-friendly primitives; translate (single byte-pass) replaces the
+    # \s+ regexp_replace. The header regex guarantees >=1 valid tag on
+    # matched rows, so the array is never empty where `tags` is emitted.
+    _tag_arr = F.split(F.translate(F.col("_h5"), " \t\n\x0b\f\r", ""), ",")
+    tags = F.split(
+        F.concat_ws(
+            ",",
+            *[F.when(F.array_contains(_tag_arr, t), t) for t in sorted(G.TAGS)],
+        ),
+        ",",
     )
 
     event_id = F.when(F.col("_h6") != "", F.col("_h6").try_cast("int"))
@@ -279,7 +302,7 @@ def parse_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     staging = (
         [f"_h{i}" for i in range(1, 7)]
-        + ["_hp", "_nr1", "_e3", "_s1", "_rs1", "_ph2",
+        + ["_hp", "_hok", "_nr1", "_e3", "_s1", "_rs1", "_ph2",
            "_is_cc", "_is_ts", "_is_g1", "_nr2", "_nr3", "_e1", "_e2", "_e4",
            "_e5", "_e6", "_e7", "_e8", "_s2", "_ph1", "_ph3", "_ph4",
            "_gclass", "_unl", "_ovfl"]

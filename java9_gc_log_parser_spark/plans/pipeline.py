@@ -72,7 +72,20 @@ def build(
     groups = None
     if materialize_table is not None:
         spark = transcripts.sparkSession
-        write_table(parsed, materialize_table)
+        # The stored parsed table keeps raw `text` ONLY for dead-letter rows:
+        # the reference retains the raw line solely in UnknownLine
+        # (GcLineParser.scala:116-118), and the unmatched sink is the only
+        # consumer of `text` downstream (route.py). Nulling it for matched
+        # rows cuts the widest column's write+read bytes — at 10^12 turns
+        # the parsed Iceberg table would otherwise duplicate the whole
+        # transcript corpus.
+        write_table(
+            parsed.withColumn(
+                "text",
+                F.when(F.col("event_class") == "unmatched", F.col("text")),
+            ),
+            materialize_table,
+        )
         parsed = read_table(spark, materialize_table)
         # materialize the assembly output too: six sinks (pause table,
         # dead letter, conv-state final/scan, bucket pauses, histogram)

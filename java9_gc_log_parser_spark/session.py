@@ -70,6 +70,15 @@ def get_spark(
         # relative to cores x split size.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "8m")
+        # Align Spark's codegen fallback with HotSpot's actual JIT ceiling:
+        # the JVM refuses to compile methods over 8000 bytecodes
+        # (DontCompileHugeMethods), so a whole-stage-codegen method past that
+        # runs as INTERPRETED BYTECODE. The wide parse projection generates
+        # one such method; with the default limit (65535) Spark keeps it and
+        # the full parse takes 58 s for 15M turns at 8 cores — with fallback
+        # to interpreted expression eval it takes 13.3 s (4.3x). Only stages
+        # whose generated code the JVM wouldn't JIT anyway are affected.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.driver.memory",
