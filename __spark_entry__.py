@@ -461,6 +461,30 @@ def q40_corpus_filter(spark, sf_dir):
     return corpus_filter(_docs(spark, sf_dir))
 
 
+def q41_bigram_logprob(spark, sf_dir):
+    """Corpus-trained add-one bigram-LM score per doc (CCNet-style
+    perplexity filter, self-trained variant)."""
+    from java9_gc_log_parser_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def q42_kmeans(spark, sf_dir):
+    """Deterministic 2-iteration Lloyd's k-means over the embeddings (the
+    SemDeDup-style cell partition); oracle unrolls the same iterations."""
+    from java9_gc_log_parser_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(_embs(spark, sf_dir), k=4, iters=2)
+
+
+def q43_tfidf_topk(spark, sf_dir):
+    """Top-3 terms per document by tf-idf (keyword extraction), fully
+    deterministic rank (score desc, term asc)."""
+    from java9_gc_log_parser_spark.operators.text_analysis import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1113,6 +1137,98 @@ FROM sess GROUP BY conv_id, session_idx
 """
 
 
+_ORACLES["q41_bigram_logprob"] = _DTOK + """
+, bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ltoks) - 1),
+                               i -> ltoks[i] || ' ' || ltoks[i + 1])) AS g
+  FROM dtok WHERE len(ltoks) >= 2
+),
+bg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bg0),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS uc
+  FROM (SELECT unnest(ltoks) AS tok FROM dtok) GROUP BY tok
+),
+vv AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+       FROM (SELECT unnest(ltoks) AS tok FROM dtok)),
+bic AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS bc FROM bg GROUP BY g),
+sc AS (
+  SELECT bg.doc_id, ln((bic.bc + 1.0) / (uni.uc + vv.v)) AS lp
+  FROM bg JOIN bic USING (g) JOIN uni ON bg.w1 = uni.tok CROSS JOIN vv
+),
+pd AS (SELECT doc_id, COUNT(*) AS n, AVG(lp) AS m FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(pd.m, 0.0), 6) AS avg_logp
+FROM dtok d LEFT JOIN pd USING (doc_id)
+"""
+
+# k-means: the oracle unrolls the exact two Lloyd iterations with the same
+# rounding contract (see operators/clustering.py module docstring) — seeds
+# by md5(vec_id) order, expanded-form squared distance rounded 6dp BEFORE
+# the argmin comparison, per-dimension means rounded 6dp
+_KM_ASSIGN = """
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT ee.vec_id, c.cluster,
+           ROUND(ee.esq - 2.0 * list_dot_product(ee.emb, c.c_emb)
+                 + c.c_sq, 6) AS d2,
+           row_number() OVER (
+             PARTITION BY ee.vec_id
+             ORDER BY ROUND(ee.esq - 2.0 * list_dot_product(ee.emb, c.c_emb)
+                            + c.c_sq, 6), c.cluster) AS rk
+    FROM ee CROSS JOIN {c} AS c
+  ) WHERE rk = 1
+"""
+
+_ORACLES["q42_kmeans"] = _EMB + f"""
+, ee AS (
+  SELECT vec_id, emb, ROUND(list_dot_product(emb, emb), 6) AS esq FROM e
+),
+seed AS (
+  SELECT vec_id, emb,
+         CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS INT) AS cluster
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+),
+c0 AS (SELECT cluster, emb AS c_emb,
+              ROUND(list_dot_product(emb, emb), 6) AS c_sq FROM seed),
+a0 AS ({_KM_ASSIGN.format(c="c0")}),
+md0 AS (
+  SELECT a0.cluster,
+         unnest(generate_series(1, len(ee.emb))) AS pos,
+         unnest(ee.emb) AS val
+  FROM a0 JOIN ee USING (vec_id)
+),
+md AS (SELECT cluster, pos, ROUND(AVG(val), 6) AS v
+       FROM md0 GROUP BY cluster, pos),
+c1 AS (
+  SELECT cluster, c_emb, ROUND(list_dot_product(c_emb, c_emb), 6) AS c_sq
+  FROM (SELECT cluster, list(v ORDER BY pos) AS c_emb FROM md GROUP BY cluster)
+),
+a1 AS ({_KM_ASSIGN.format(c="c1")})
+SELECT vec_id, cluster, d2 FROM a1
+"""
+
+_ORACLES["q43_tfidf_topk"] = _DTOK + """
+, tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ltoks) AS term FROM dtok) GROUP BY doc_id, term
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+sc AS (
+  SELECT doc_id, term, tf, ROUND(tf * ln(nn.n / dfr.df), 6) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN nn
+)
+SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM sc
+) WHERE rk <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -1160,6 +1276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_stratified_sample": q38_stratified_sample,
         "q39_jsonl_source": q39_jsonl_source,
         "q40_corpus_filter": q40_corpus_filter,
+        "q41_bigram_logprob": q41_bigram_logprob,
+        "q42_kmeans": q42_kmeans,
+        "q43_tfidf_topk": q43_tfidf_topk,
     }
 
 

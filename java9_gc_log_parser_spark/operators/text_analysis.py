@@ -307,6 +307,117 @@ def corpus_filter(
     )
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram-LM score per document (CCNet-style perplexity
+    filter, e.g. Wenzek et al. 2019 — here the LM is trained on the corpus
+    itself rather than a held-out reference, which is the self-consistency
+    variant used for outlier detection).
+
+    Add-one-smoothed bigram log-probability, averaged over a document's
+    bigram slots::
+
+        avg_logp(d) = mean over bigrams (w1,w2) of
+                      ln( (c(w1 w2) + 1) / (c(w1) + V) )
+
+    where c(.) are corpus-wide occurrence counts and V is the corpus
+    vocabulary size. Degenerate/boilerplate documents score high (their
+    bigrams dominate the corpus counts); rare-garbage documents score low.
+
+    Scale shape: two hash aggregations over exploded tokens (map-side
+    combinable — the count tables are the classic word-count reduction),
+    then two shuffle joins of the exploded bigram slots against those count
+    tables keyed by bigram/first-token, then a per-doc hash agg. No window,
+    no driver collection; V and the count tables stay distributed (V joins
+    in as a broadcast single row). Token-frequency skew ("the") inflates
+    join-probe fan-in but never output (join is key-lookup, not pair
+    generation).
+    """
+    ltoks = tokens_col(F.lower(F.col("text")))
+    base = docs.select("doc_id", _word_ngrams(ltoks, 2).alias("_bg"),
+                       ltoks.alias("_lt"))
+    uni = (
+        base.select(F.explode("_lt").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    slots = base.select(
+        "doc_id",
+        F.explode("_bg").alias("g"),
+    ).withColumn("w1", F.split(F.col("g"), " ")[0])
+    bic = slots.groupBy("g").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        slots.join(bic, "g")
+        .join(uni, slots["w1"] == uni["tok"])
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("bc") + F.lit(1.0))
+                / (F.col("uc") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("lp").alias("m")
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(F.coalesce(F.col("m"), F.lit(0.0)), 6).alias("avg_logp"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by tf-idf (keyword extraction / topic
+    labeling for corpus audits).
+
+    tf = in-document occurrence count (lowercased whitespace tokens);
+    idf = ln(N / df) with N = total documents (including empty ones) and
+    df = number of documents containing the term; score = tf * idf rounded
+    to 6dp; rank by (score desc, term asc) — fully deterministic.
+
+    Scale shape: one exploded hash agg for tf (map-side combinable), one
+    hash agg over the (doc, term)-distinct tf table for df (each term
+    counted once per doc, so "the" contributes |docs| rows pre-agg, not
+    token-count rows), a key-lookup join tf⋈df, and a per-doc top-k window.
+    The window partitions by doc_id — millions of small partitions, never
+    one big one.
+    """
+    from pyspark.sql import Window
+
+    ltoks = tokens_col(F.lower(F.col("text")))
+    tf = (
+        docs.select("doc_id", F.explode(ltoks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfr, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
 def token_budget(
     docs: DataFrame, group_cols: tuple[str, ...] = ("split", "source")
 ) -> DataFrame:
