@@ -206,3 +206,27 @@ def test_ivf_plan_broadcasts_centroids_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # tiny centroid side broadcast
+
+
+def test_bigram_and_tfidf_plans_are_shuffle_joins_no_cartesian(spark, sf_dir):
+    """q41/q43: count-table lookups must plan as equi-joins (hash/SMJ), the
+    only nested-loop being the broadcast of the single-row N/V scalar."""
+    import __spark_entry__ as entrymod
+
+    for name in ("q41_bigram_logprob", "q43_tfidf_topk"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        # scalar joins in: exactly as a broadcast, never a shuffle
+        assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """q42: the corpus x centroids pairing must be a broadcast of the k-row
+    centroid table against one corpus scan — never a shuffle or cartesian."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q42_kmeans"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
