@@ -485,6 +485,30 @@ def q43_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def q44_semdedup(spark, sf_dir):
+    """SemDeDup: k-means cells + within-cell cosine near-dup, keep the
+    member closest to its centroid per duplicate pair."""
+    from java9_gc_log_parser_spark.operators.clustering import semdedup
+
+    return semdedup(_embs(spark, sf_dir), k=4, iters=2, threshold=0.3)
+
+
+def q45_shard_manifest(spark, sf_dir):
+    """Deterministic training-export shards: md5-bucket shard id + per-shard
+    manifest (doc count, token sum, id range)."""
+    from java9_gc_log_parser_spark.operators.sampling import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=8)
+
+
+def q46_zipf_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 terms with rank and cumulative
+    coverage share (Zipf audit)."""
+    from java9_gc_log_parser_spark.operators.text_analysis import zipf_topk
+
+    return zipf_topk(_docs(spark, sf_dir), k=50)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1180,7 +1204,9 @@ _KM_ASSIGN = """
   ) WHERE rk = 1
 """
 
-_ORACLES["q42_kmeans"] = _EMB + f"""
+# shared CTE chain: seeds -> assign (a0) -> centroid update -> assign (a1);
+# q42 exposes a1 directly, q44 (SemDeDup) builds within-cell pairs on top
+_KM_CORE = f"""
 , ee AS (
   SELECT vec_id, emb, ROUND(list_dot_product(emb, emb), 6) AS esq FROM e
 ),
@@ -1207,7 +1233,67 @@ c1 AS (
   FROM (SELECT cluster, list(v ORDER BY pos) AS c_emb FROM md GROUP BY cluster)
 ),
 a1 AS ({_KM_ASSIGN.format(c="c1")})
+"""
+
+_ORACLES["q42_kmeans"] = _EMB + _KM_CORE + """
 SELECT vec_id, cluster, d2 FROM a1
+"""
+
+# SemDeDup: same unrolled k-means, then within-cell cosine pairs and the
+# (d2, vec_id)-max loser rule — row-value comparison matches Spark's
+# struct ordering, cosine matches the q21 rounded-6dp contract
+_ORACLES["q44_semdedup"] = _EMB + _KM_CORE + f"""
+, nrm AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nr FROM e
+),
+mm AS (
+  SELECT a1.vec_id, a1.cluster, a1.d2, nrm.emb, nrm.nr
+  FROM a1 JOIN nrm USING (vec_id)
+),
+prs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.d2 AS da, b.d2 AS db,
+         ROUND(list_dot_product(a.emb, b.emb)
+               / (a.nr * b.nr + 1e-12), 6) AS cos
+  FROM mm a JOIN mm b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN (da, va) > (db, vb) THEN va ELSE vb END AS vec_id
+  FROM prs WHERE cos >= 0.3
+)
+SELECT a1.vec_id, a1.cluster, a1.d2,
+       (losers.vec_id IS NULL) AS keep
+FROM a1 LEFT JOIN losers USING (vec_id)
+"""
+
+_ORACLES["q45_shard_manifest"] = _DTOK + """
+, sh AS (
+  SELECT doc_id, toks,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:v1'), 1, 4))
+           ::INTEGER % 8 AS shard
+  FROM dtok
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM sh GROUP BY shard
+"""
+
+_ORACLES["q46_zipf_topk"] = _DTOK + """
+, wc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ltoks) AS term FROM dtok) GROUP BY term
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM wc),
+head AS (SELECT term, cnt FROM wc ORDER BY cnt DESC, term LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+       term, cnt,
+       ROUND(cnt / tot.total, 6) AS share,
+       ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS UNBOUNDED PRECEDING) / tot.total, 6)
+         AS cum_share
+FROM head CROSS JOIN tot
 """
 
 _ORACLES["q43_tfidf_topk"] = _DTOK + """
@@ -1279,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_bigram_logprob": q41_bigram_logprob,
         "q42_kmeans": q42_kmeans,
         "q43_tfidf_topk": q43_tfidf_topk,
+        "q44_semdedup": q44_semdedup,
+        "q45_shard_manifest": q45_shard_manifest,
+        "q46_zipf_topk": q46_zipf_topk,
     }
 
 

@@ -114,3 +114,75 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, iters: int = 2) -> DataFram
         centroids = _update(e, assigned)
         assigned = _assign(e, centroids)
     return assigned
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic dedup verdict per vector (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with k-means, find near-duplicate
+    pairs (cosine >= threshold) WITHIN each cluster cell, and keep exactly
+    one representative per duplicate relation.
+
+    Keep rule (deterministic, oracle-checkable): in every above-threshold
+    pair, the vector with the LARGER ``(d2, vec_id)`` — i.e. the one farther
+    from its centroid, ties broken by vec_id — is dropped; a vector is kept
+    iff it loses no pair. Returns ``(vec_id, cluster, d2, keep)`` for the
+    whole corpus.
+
+    Scale shape: the expensive all-pairs step never runs corpus-wide — only
+    within k-means cells, and k grows with the corpus (SemDeDup used 50k
+    cells for LAION; cell size, not corpus size, bounds the quadratic term).
+    The cosine reuses the rounded-6dp contract from
+    ``similarity.embedding_near_dup_pairs``; distances reuse
+    ``kmeans_assign``'s rounded expanded form, so the oracle re-derives the
+    identical verdict in DuckDB by unrolling the same iterations.
+    """
+    from java9_gc_log_parser_spark.operators.similarity import EPS, _with_norm
+
+    assigned = kmeans_assign(embeddings, k=k, iters=iters)
+    e = _with_norm(embeddings).select("vec_id", "_emb", "_nrm")
+    m = assigned.join(e, "vec_id")
+    # explicit-count repartition: within-cell self-join output is quadratic
+    # in cell size; AQE coalesces by input bytes and would plan the blow-up
+    # onto one task (cf. similarity.embedding_near_dup_pairs)
+    n_parts = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    m = m.repartition(n_parts, "cluster")
+    a, b = m.alias("a"), m.alias("b")
+    cos = F.round(
+        _dot(F.col("a._emb"), F.col("b._emb"))
+        / (F.col("a._nrm") * F.col("b._nrm") + F.lit(EPS)),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.d2").alias("da"),
+            F.col("b.d2").alias("db"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    losers = pairs.select(
+        F.when(
+            F.struct("da", "va") > F.struct("db", "vb"), F.col("va")
+        )
+        .otherwise(F.col("vb"))
+        .alias("vec_id")
+    ).distinct()
+    return assigned.join(
+        losers.withColumn("_drop", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster", "d2", F.col("_drop").isNull().alias("keep")
+    )

@@ -114,3 +114,59 @@ def hash_sample(
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     bound = "g" if fraction >= 1.0 else format(int(fraction * 65536), "04x")
     return df.filter(_bucket(F.col(id_col), salt) < F.lit(bound))
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shard:v1",
+) -> DataFrame:
+    """Append a deterministic ``shard`` column in [0, n_shards) for training
+    export: a 10^12-row corpus is written as n_shards independent file sets
+    that any loader can re-derive membership for from (id, salt) alone.
+
+    shard = int(first 4 hex chars of md5(id || ':' || salt), 16) % n_shards —
+    hash-based (not id % n) so clustered/sequential id ranges still balance.
+    Map-only, no shuffle; at write time ``df.repartition(n, 'shard')``
+    co-locates each shard's rows (one shuffle, the export's only one).
+    """
+    if not 1 <= n_shards <= 65536:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    h = _bucket(F.col(id_col), salt)
+    return df.withColumn(
+        "shard", (F.conv(h, 16, 10).cast("int") % n_shards).cast("int")
+    )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shard:v1",
+) -> DataFrame:
+    """Per-shard export manifest: doc count, whitespace-token sum, id range.
+
+    The rollup a shard writer emits next to its files so downstream loaders
+    can size readers and verify completeness. One map-side-combinable hash
+    agg over the shard assignment — n_shards result rows.
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    sharded = shard_assign(docs, n_shards, id_col, salt)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col("text")))).alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .select(
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("min_id").cast("long").alias("min_id"),
+            F.col("max_id").cast("long").alias("max_id"),
+        )
+    )

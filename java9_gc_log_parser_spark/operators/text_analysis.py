@@ -442,3 +442,44 @@ def token_budget(
             F.col("total_tokens").cast("double") / F.col("n_docs"), 6
         ).alias("mean_tokens"),
     )
+
+
+def zipf_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: the top-k terms by frequency with rank and
+    cumulative coverage share — the Zipf audit a curation pipeline runs to
+    spot boilerplate explosions (a term head covering an outsized share of
+    all tokens) and tokenizer-vocabulary drift.
+
+    Deterministic total order: (count desc, term asc). ``share`` and
+    ``cum_share`` are fractions of ALL corpus tokens (not just the head),
+    rounded to 6dp.
+
+    Scale shape: one exploded word-count hash agg (map-side combinable),
+    a TakeOrderedAndProject for the top-k head (each task ships only its
+    local top-k — never a global sort of the vocabulary), the total-token
+    scalar joined in as a single-row broadcast, and a window over the k-row
+    head for the cumulative sum.
+    """
+    from pyspark.sql import Window
+
+    ltoks = tokens_col(F.lower(F.col("text")))
+    counts = (
+        docs.select(F.explode(ltoks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    head = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        head.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .select(
+            "rank",
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cum_cnt") / F.col("total"), 6).alias("cum_share"),
+        )
+    )

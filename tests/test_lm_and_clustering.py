@@ -150,3 +150,42 @@ def test_kmeans_converges_on_line(spark):
     seq = [c for _, c in a4]  # cluster ids along the line
     changes = sum(1 for i in range(1, len(seq)) if seq[i] != seq[i - 1])
     assert changes == len(set(seq)) - 1  # each cluster is one contiguous run
+
+
+def test_semdedup_keep_rule_matches_numpy(spark, sf_dir):
+    """Verdict parity with a straight numpy re-derivation: within each
+    k-means cell, in every cosine>=tau pair the (d2, vec_id)-larger member
+    is dropped; everything else is kept."""
+    import numpy as np
+
+    from java9_gc_log_parser_spark.operators.clustering import (
+        kmeans_assign,
+        semdedup,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tau = 0.3
+    got = {r["vec_id"]: r for r in semdedup(embs, k=4, iters=2,
+                                            threshold=tau).collect()}
+    assigned = {r["vec_id"]: (r["cluster"], r["d2"])
+                for r in kmeans_assign(embs, k=4, iters=2).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embs.collect()}
+    # semdedup's clusters/d2 must equal kmeans_assign's
+    assert {v: (r["cluster"], r["d2"]) for v, r in got.items()} == assigned
+
+    losers = set()
+    ids = sorted(vecs)
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1:]:
+            if assigned[va][0] != assigned[vb][0]:
+                continue
+            a, b = vecs[va], vecs[vb]
+            cos = round(float(a @ b) / (float(np.linalg.norm(a))
+                                        * float(np.linalg.norm(b)) + 1e-12), 6)
+            if cos >= tau:
+                losers.add(max(
+                    (va, vb),
+                    key=lambda v: (assigned[v][1], v),
+                ))
+    assert {v for v, r in got.items() if not r["keep"]} == losers

@@ -95,3 +95,35 @@ def test_stratified_quota_exceeding_group_size(spark):
         [(1, "only"), (2, "only")], "doc_id long, source string"
     )
     assert stratified_sample(small, "source", 10).count() == 2
+
+
+def _py_shard(doc_id: int, n: int = 8, salt: str = "shard:v1") -> int:
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:4]
+    return int(h, 16) % n
+
+
+def test_shard_assign_matches_python_ground_truth(spark):
+    from java9_gc_log_parser_spark.operators.sampling import shard_assign
+
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(_docs(spark), n_shards=8).collect()
+    }
+    assert got == {i: _py_shard(i) for i in range(400)}
+    assert all(0 <= s < 8 for s in got.values())
+
+
+def test_shard_manifest_counts_and_ranges(spark):
+    from java9_gc_log_parser_spark.operators.sampling import shard_manifest
+
+    rows = {r["shard"]: r for r in shard_manifest(_docs(spark), 4).collect()}
+    by_shard: dict[int, list[int]] = {}
+    for i in range(400):
+        by_shard.setdefault(_py_shard(i, 4), []).append(i)
+    assert set(rows) == set(by_shard)
+    for s, ids in by_shard.items():
+        assert rows[s]["n_docs"] == len(ids)
+        assert rows[s]["min_id"] == min(ids)
+        assert rows[s]["max_id"] == max(ids)
+        # every synthetic doc is "doc <i>" = 2 whitespace tokens
+        assert rows[s]["n_tokens"] == 2 * len(ids)

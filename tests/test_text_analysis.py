@@ -206,3 +206,19 @@ def test_corpus_filter_matches_individual_metrics(spark, sf_dir):
         assert ("low_quality" in row.reasons) == (q[d] < 0.5), d
         assert ("repetitive" in row.reasons) == rep[d], d
         assert ("lang" in row.reasons) == (lang[d] != "en"), d
+
+
+def test_zipf_topk_known_answer(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import zipf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = zipf_topk(docs, k=3).orderBy("rank").collect()
+    # counts: a=4, b=3, c=1, x=1 (total 9); top-3 ties break term-asc
+    assert [(r["rank"], r["term"], r["cnt"]) for r in rows] == [
+        (1, "a", 4), (2, "b", 3), (3, "c", 1)
+    ]
+    assert rows[0]["share"] == round(4 / 9, 6)
+    assert rows[2]["cum_share"] == round(8 / 9, 6)
