@@ -230,3 +230,25 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semdedup_pairs_are_equi_joins_within_cells(spark, sf_dir):
+    """q44: the within-cell pair step must be an equi-join on cluster (plus
+    the centroid broadcast inherited from kmeans) — never a corpus-wide
+    cartesian."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q44_semdedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid broadcast only
+
+
+def test_zipf_head_is_take_ordered_not_global_sort(spark, sf_dir):
+    """q46: the top-k head must plan as TakeOrderedAndProject (per-task
+    local top-k), never a full vocabulary sort."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q46_zipf_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
