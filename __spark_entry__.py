@@ -509,6 +509,22 @@ def q46_zipf_topk(spark, sf_dir):
     return zipf_topk(_docs(spark, sf_dir), k=50)
 
 
+def q47_mixture_sample(spark, sf_dir):
+    """Token-budget data mixing: even-numbered sources weighted 2x odd ones,
+    10k total target tokens, deterministic md5-gate membership."""
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.sampling import mixture_sample
+
+    w = (
+        F.when(
+            F.substring(F.col("source"), 4, 8).cast("int") % 2 == 0,
+            F.lit(2.0),
+        ).otherwise(F.lit(1.0))
+    )
+    return mixture_sample(_docs(spark, sf_dir), w, token_budget=10000.0)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1280,6 +1296,30 @@ SELECT CAST(shard AS INT) AS shard,
 FROM sh GROUP BY shard
 """
 
+_ORACLES["q47_mixture_sample"] = _DTOK + """
+, wdoc AS (
+  SELECT doc_id, source, len(toks) AS nt,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 2.0 ELSE 1.0 END AS w
+  FROM dtok
+),
+per_src AS (
+  SELECT source, CAST(SUM(nt) AS DOUBLE) AS actual, FIRST(w) AS sw
+  FROM wdoc GROUP BY source
+),
+ws AS (SELECT SUM(sw) AS wsum FROM per_src),
+gates AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0, (10000.0 * sw / ws.wsum) / actual) * 65536)
+              AS INTEGER) AS bound
+  FROM per_src CROSS JOIN ws
+)
+SELECT d.doc_id, d.source, CAST(d.nt AS BIGINT) AS n_tokens
+FROM wdoc d JOIN gates USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:v1'), 1, 4))
+        ::INTEGER < gates.bound
+"""
+
 _ORACLES["q46_zipf_topk"] = _DTOK + """
 , wc AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1368,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_semdedup": q44_semdedup,
         "q45_shard_manifest": q45_shard_manifest,
         "q46_zipf_topk": q46_zipf_topk,
+        "q47_mixture_sample": q47_mixture_sample,
     }
 
 

@@ -170,3 +170,60 @@ def shard_manifest(
             F.col("max_id").cast("long").alias("max_id"),
         )
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weight_expr: Column,
+    token_budget: float,
+    id_col: str = "doc_id",
+    salt: str = "mix:v1",
+) -> DataFrame:
+    """Deterministic token-budget data mixing: subsample each source so its
+    share of the kept tokens tracks ``weight_expr`` (a per-row column giving
+    the source's relative weight — constant within a source), with
+    ``token_budget`` total tokens targeted across the corpus.
+
+    For source s: target_s = budget * w_s / Σw, frac_s = min(1,
+    target_s / actual_s), and a doc is kept iff its stable md5 bucket
+    (int of the first 4 hex chars, same mechanism as :func:`hash_split`)
+    is < floor(frac_s * 65536). Keep decisions are therefore a pure
+    function of (id, salt, per-source token totals) — stable across runs,
+    partitionings, and engines, and nested under a larger budget (a doc
+    kept at budget B stays kept at B' > B).
+
+    Scale shape: one map-side-combinable hash agg for per-source token
+    totals (a source-count dim, tiny), one broadcast of that dim plus the
+    single-row weight-sum scalar back onto the corpus scan, and a map-only
+    filter. No corpus-sized shuffle; expected (not exact) per-source token
+    counts — exact quotas need the top-N variant
+    (:func:`stratified_sample`).
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    toks = F.size(tokens_col(F.col("text")))
+    base = docs.withColumn("_nt", toks).withColumn("_w", weight_expr)
+    per_src = base.groupBy("source").agg(
+        F.sum("_nt").cast("double").alias("_actual"),
+        F.first("_w").cast("double").alias("_sw"),
+    )
+    wsum = per_src.agg(F.sum("_sw").alias("_wsum"))
+    frac = F.least(
+        F.lit(1.0),
+        (F.lit(float(token_budget)) * F.col("_sw") / F.col("_wsum"))
+        / F.col("_actual"),
+    )
+    gates = per_src.join(F.broadcast(wsum)).select(
+        "source",
+        F.floor(frac * 65536).cast("int").alias("_bound"),
+    )
+    bucket = F.conv(_bucket(F.col(id_col), salt), 16, 10).cast("int")
+    return (
+        base.join(F.broadcast(gates), "source")
+        .filter(bucket < F.col("_bound"))
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            "source",
+            F.col("_nt").cast("long").alias("n_tokens"),
+        )
+    )

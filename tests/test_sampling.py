@@ -127,3 +127,39 @@ def test_shard_manifest_counts_and_ranges(spark):
         assert rows[s]["max_id"] == max(ids)
         # every synthetic doc is "doc <i>" = 2 whitespace tokens
         assert rows[s]["n_tokens"] == 2 * len(ids)
+
+
+def test_mixture_sample_matches_python_ground_truth(spark):
+    """Keep set re-derived in plain Python: per-source fracs from the
+    weight/budget math, membership from the md5 gate."""
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "tok " * (i % 7 + 1)) for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    w = F.when(F.substring("source", 2, 4).cast("int") == 0, F.lit(3.0)).otherwise(
+        F.lit(1.0)
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"])
+        for r in mixture_sample(docs, w, token_budget=400.0).collect()
+    }
+
+    ntok = {i: i % 7 + 1 for i in range(300)}
+    actual = {f"s{k}": sum(n for i, n in ntok.items() if i % 3 == k)
+              for k in range(3)}
+    weights = {"s0": 3.0, "s1": 1.0, "s2": 1.0}
+    wsum = sum(weights.values())
+    expected = {}
+    for i in range(300):
+        src = f"s{i % 3}"
+        frac = min(1.0, (400.0 * weights[src] / wsum) / actual[src])
+        bound = int(frac * 65536)
+        b = int(hashlib.md5(f"{i}:mix:v1".encode()).hexdigest()[:4], 16)
+        if b < bound:
+            expected[i] = (src, ntok[i])
+    assert got == expected
+    assert 0 < len(expected) < 300  # non-degenerate: a real subsample
