@@ -323,43 +323,82 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     vocabulary size. Degenerate/boilerplate documents score high (their
     bigrams dominate the corpus counts); rare-garbage documents score low.
 
-    Scale shape: two hash aggregations over exploded tokens (map-side
-    combinable — the count tables are the classic word-count reduction),
-    then two shuffle joins of the exploded bigram slots against those count
-    tables keyed by bigram/first-token, then a per-doc hash agg. No window,
-    no driver collection; V and the count tables stay distributed (V joins
-    in as a broadcast single row). Token-frequency skew ("the") inflates
-    join-probe fan-in but never output (join is key-lookup, not pair
-    generation).
+    Scale shape: the per-doc bigram table is pre-aggregated (map-side
+    combinable) so the count-table joins probe (doc, bigram, count) rows,
+    never per-occurrence slots; the corpus bigram table derives from that
+    same aggregate (one exchange, reused), the unigram table is the classic
+    word-count reduction, and the per-doc average is the dc-weighted mean
+    (identical to the per-occurrence mean). No window, no driver
+    collection; V and the count tables stay distributed (V joins in as a
+    broadcast single row). Token-frequency skew ("the") inflates join-probe
+    fan-in but never output (join is key-lookup, not pair generation).
+
+    Expression shape: the bigram slots are built lambda-free —
+    ``arrays_zip(slice(toks,1,n-1), slice(toks,2,n-1))`` exploded, then
+    ``concat_ws`` over the struct fields — so the whole path stays inside
+    whole-stage codegen. The `_word_ngrams` transform-lambda shape is NOT
+    safe here: the explode branch references the ngram column exactly once,
+    so CollapseProject re-inlines it (and the tokenize under it) into the
+    Generate, and the interpreted lambda then re-derives the regex split
+    per element — O(n_tokens^2) per doc (see :func:`_top_occurrence_count`
+    for the same failure mode in the repetition metrics).
     """
-    ltoks = tokens_col(F.lower(F.col("text")))
-    base = docs.select("doc_id", _word_ngrams(ltoks, 2).alias("_bg"),
-                       ltoks.alias("_lt"))
+    clash = [c for c in docs.columns if c.startswith("_blm_")]
+    if clash:
+        raise ValueError(
+            f"input carries reserved staging column(s) {clash}; rename them"
+        )
+    base = docs.withColumn(
+        "_blm_lt", tokens_col(F.lower(F.col("text")))
+    ).select("doc_id", "_blm_lt")
+    lt = F.col("_blm_lt")
     uni = (
-        base.select(F.explode("_lt").alias("tok"))
+        base.select(F.explode("_blm_lt").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("uc"))
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    slots = base.select(
-        "doc_id",
-        F.explode("_bg").alias("g"),
-    ).withColumn("w1", F.split(F.col("g"), " ")[0])
-    bic = slots.groupBy("g").agg(F.count(F.lit(1)).alias("bc"))
+    n_slots = F.greatest(F.size(lt) - 1, F.lit(0))
+    docbg = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(lt, 1, n_slots).alias("w1"),
+                    F.slice(lt, 2, n_slots).alias("w2"),
+                )
+            ).alias("_blm_z"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("_blm_z.w1"), F.col("_blm_z.w2")
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    bic = docbg.groupBy("g").agg(F.sum("dc").alias("bc"))
     scored = (
-        slots.join(bic, "g")
-        .join(uni, slots["w1"] == uni["tok"])
+        docbg.withColumn("w1", F.split(F.col("g"), " ")[0])
+        .join(bic, "g")
+        .join(uni, F.col("w1") == uni["tok"])
         .join(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.log(
-                (F.col("bc") + F.lit(1.0))
-                / (F.col("uc") + F.col("v")).cast("double")
-            ).alias("lp"),
+            "dc",
+            (
+                F.col("dc").cast("double")
+                * F.log(
+                    (F.col("bc") + F.lit(1.0))
+                    / (F.col("uc") + F.col("v")).cast("double")
+                )
+            ).alias("slp"),
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("lp").alias("m")
+        F.sum("dc").alias("n"),
+        (F.sum("slp") / F.sum("dc")).alias("m"),
     )
     return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
