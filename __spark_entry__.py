@@ -255,19 +255,31 @@ def q26_stream_assembled(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
     # round-robin scatter: one event's lines spread across many files, so
-    # micro-batches deliver them out of order across triggers
+    # micro-batches deliver them out of order across triggers (with 16 files
+    # per trigger over 32 files, ~97% of events still split across batches:
+    # P(all ~6 lines land in one half) = 2 * 0.5^6)
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
-    q = (
-        stream_assembled(spark, src, _INPUT_SCHEMA)
-        .filter(F.col("verdict") == "ok")
-        .writeStream.format("parquet")
-        .option("path", outp)
-        .option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    # stateful-operator partition count is a state-volume knob, not a
+    # compute-parallelism knob: every partition pays a state-store commit
+    # per micro-batch, and the assembled state here is a few MB. The stream
+    # captures the conf at start; restore it for the later batch queries.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_assembled(spark, src, _INPUT_SCHEMA,
+                             max_files_per_trigger=16)
+            .filter(F.col("verdict") == "ok")
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(outp).select(*_ASSEMBLED_COLS)
 
 

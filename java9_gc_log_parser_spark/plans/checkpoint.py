@@ -36,7 +36,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..storage import TableRef, read_table, write_table
@@ -128,8 +128,13 @@ def run_batch(
     for sink in SINKS:
         out = os.path.join(root, sink, f"batch={batch_id}")
         df: DataFrame = dfs[sink]
-        write_table(df, out)
-        sink_rows[sink] = read_table(spark, out).count()
+        # row metric collected DURING the write (Observation piggybacks on
+        # the write job) — re-reading the committed files to count them is
+        # one extra scan of the entire output per sink per batch, which at
+        # 100 TB means re-reading everything you just wrote
+        obs = Observation(f"sink_rows_{sink}_{batch_id}")
+        write_table(df.observe(obs, F.count(F.lit(1)).alias("rows")), out)
+        sink_rows[sink] = int(obs.get["rows"])
     dfs["parsed"].unpersist()
     wall = time.perf_counter() - t0
     rec = {
