@@ -537,6 +537,14 @@ def q47_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), w, token_budget=10000.0)
 
 
+def q48_encoding_audit(spark, sf_dir):
+    """Encoding/mojibake QA gate: U+FFFD count, control-char ratio, ascii
+    ratio, flag — map-only codegen projection, no UDF."""
+    from java9_gc_log_parser_spark.operators.text_analysis import encoding_audit
+
+    return encoding_audit(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1308,6 +1316,31 @@ SELECT CAST(shard AS INT) AS shard,
 FROM sh GROUP BY shard
 """
 
+_ORACLES["q48_encoding_audit"] = r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+         length(text) - length(regexp_replace(
+             text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl,
+         length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_ascii
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(n_repl AS BIGINT) AS n_replacement,
+         ROUND(CASE WHEN n > 0 THEN n_ctrl::DOUBLE / n ELSE 0.0 END, 6)
+           AS ctrl_ratio,
+         ROUND(CASE WHEN n > 0 THEN n_ascii::DOUBLE / n ELSE 1.0 END, 6)
+           AS ascii_ratio
+  FROM m
+)
+SELECT doc_id, n_replacement, ctrl_ratio, ascii_ratio,
+       (n_replacement > 0 OR ctrl_ratio > 0.01 OR ascii_ratio < 0.5)
+         AS flagged
+FROM r
+"""
+
 _ORACLES["q47_mixture_sample"] = _DTOK + """
 , wdoc AS (
   SELECT doc_id, source, len(toks) AS nt,
@@ -1421,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_shard_manifest": q45_shard_manifest,
         "q46_zipf_topk": q46_zipf_topk,
         "q47_mixture_sample": q47_mixture_sample,
+        "q48_encoding_audit": q48_encoding_audit,
     }
 
 

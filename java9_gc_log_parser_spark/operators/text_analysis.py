@@ -522,3 +522,52 @@ def zipf_topk(docs: DataFrame, k: int = 50) -> DataFrame:
             F.round(F.col("cum_cnt") / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+def encoding_audit(
+    docs: DataFrame,
+    ctrl_ratio_threshold: float = 0.01,
+    ascii_ratio_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document encoding/mojibake QA gate (corpus ingest hygiene).
+
+    Web-scraped corpora carry decode damage: U+FFFD replacement characters
+    (bytes that failed to decode), stray C0 control characters (binary
+    bleed-through), and wholesale charset confusion (latin-1 read as utf-8).
+    Per doc: ``n_replacement`` = count of U+FFFD; ``ctrl_ratio`` = fraction
+    of characters that are C0 controls other than tab/newline/CR;
+    ``ascii_ratio`` = fraction of characters in the 7-bit range (1.0 for
+    empty text — an empty doc is not "non-ascii"); ``flagged`` = any
+    replacement char, ctrl_ratio over threshold, or ascii_ratio under
+    threshold.
+
+    Scale shape: map-only projection of built-in string expressions inside
+    whole-stage codegen — one pass, no shuffle, no UDF; counts are derived
+    from length deltas of `regexp_replace`/`replace` (never per-char
+    explode).
+    """
+    n = F.length(F.col("text"))
+    n_repl = n - F.length(F.replace(F.col("text"), F.lit("�"), F.lit("")))
+    n_ctrl = n - F.length(
+        F.regexp_replace(F.col("text"), r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    n_ascii = F.length(
+        F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
+    )
+    ctrl_ratio = F.round(
+        F.when(n > 0, n_ctrl.cast("double") / n).otherwise(F.lit(0.0)), 6
+    )
+    ascii_ratio = F.round(
+        F.when(n > 0, n_ascii.cast("double") / n).otherwise(F.lit(1.0)), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_repl.cast("long").alias("n_replacement"),
+        ctrl_ratio.alias("ctrl_ratio"),
+        ascii_ratio.alias("ascii_ratio"),
+        (
+            (n_repl > 0)
+            | (ctrl_ratio > F.lit(ctrl_ratio_threshold))
+            | (ascii_ratio < F.lit(ascii_ratio_threshold))
+        ).alias("flagged"),
+    )

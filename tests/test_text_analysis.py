@@ -222,3 +222,34 @@ def test_zipf_topk_known_answer(spark):
     ]
     assert rows[0]["share"] == round(4 / 9, 6)
     assert rows[2]["cum_share"] == round(8 / 9, 6)
+
+
+def test_encoding_audit_known(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import encoding_audit
+
+    rows = [
+        (1, "plain ascii text"),                  # clean
+        (2, "bad � byte � here"),       # 2 replacement chars
+        (3, "ctrl\x01\x02chars\x03aaaa"),         # 3 C0 controls of 16 chars
+        (4, "tab\tand\nnewline ok"),              # tab/newline NOT control-flagged
+        (5, "café naïve résumé"),  # non-ascii but sane
+        (6, ""),                                  # empty: ratios 0.0 / 1.0
+        (7, "éèêë"),          # all non-ascii -> flagged
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict() for r in encoding_audit(df).collect()
+    }
+    assert got[1] == {"doc_id": 1, "n_replacement": 0, "ctrl_ratio": 0.0,
+                      "ascii_ratio": 1.0, "flagged": False}
+    assert got[2]["n_replacement"] == 2 and got[2]["flagged"]
+    assert got[3]["n_replacement"] == 0
+    assert got[3]["ctrl_ratio"] == round(3 / 16, 6) and got[3]["flagged"]
+    assert got[4] == {"doc_id": 4, "n_replacement": 0, "ctrl_ratio": 0.0,
+                      "ascii_ratio": 1.0, "flagged": False}
+    assert got[5]["n_replacement"] == 0 and not got[5]["flagged"]
+    assert 0.5 < got[5]["ascii_ratio"] < 1.0
+    assert got[6] == {"doc_id": 6, "n_replacement": 0, "ctrl_ratio": 0.0,
+                      "ascii_ratio": 1.0, "flagged": False}
+    assert got[7] == {"doc_id": 7, "n_replacement": 0, "ctrl_ratio": 0.0,
+                      "ascii_ratio": 0.0, "flagged": True}
