@@ -242,6 +242,15 @@ def _scratch(sf_dir: str, name: str) -> str:
     return f"/tmp/gclp_scratch/{name}_{tag}"
 
 
+def _await_drained(q, timeout_s: int = 600) -> None:
+    """awaitTermination returns False on timeout — without the check the
+    caller would fall through with the stream still running and read a
+    partial output directory as if it were complete."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
 def q26_stream_assembled(spark, sf_dir):
     """Streaming assembler (applyInPandasWithState) drained with availableNow
     over a file-scattered copy of the same transcripts; its ok-rows must equal
@@ -277,7 +286,7 @@ def q26_stream_assembled(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_drained(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(outp).select(*_ASSEMBLED_COLS)

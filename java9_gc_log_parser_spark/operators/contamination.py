@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 from .dedupe import with_shingles
 
 
+#: above this many exploded (gram, eval_id) rows the eval side stops being
+#: broadcast-able (rough sizing: ~100 B/row puts 5M rows near Spark's default
+#: 8 GB broadcast-table ceiling's comfortable fraction and well past
+#: autoBroadcastJoinThreshold) and the join falls back to a shuffle hash join
+BROADCAST_MAX_EVAL_GRAMS = 5_000_000
+
+#: the fallback path makes the boilerplate cap MANDATORY: without the
+#: broadcast, a degenerate gram shared by many eval docs is a hot shuffle key
+#: whose output is |train matches| x |eval docs| rows on one reducer
+FALLBACK_MAX_GRAM_EVAL_DOCS = 1000
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,
@@ -40,6 +52,7 @@ def contamination_pairs(
     min_overlap: int = 2,
     id_col: str = "doc_id",
     max_gram_eval_docs: int | None = None,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """(train_id, eval_id, n_shared): train docs sharing ``>= min_overlap``
     distinct word ``n``-grams with an eval doc.
@@ -47,11 +60,34 @@ def contamination_pairs(
     ``filter`` on the result (or an anti-join back to ``train``) is the
     decontaminated corpus. ``max_gram_eval_docs`` drops grams present in
     more than that many eval documents before matching (boilerplate guard).
+
+    Join-strategy selection (``broadcast_eval``):
+      * ``True`` — broadcast the exploded eval-gram table (the normal case:
+        eval benchmarks are a few MB against a 100 TB corpus; the corpus scan
+        stays map-side, zero shuffle before the pair aggregation);
+      * ``False`` — shuffle HASH join on ``gram`` (hinted: the gram side
+        needs no sort, and a sort-merge join would sort the full exploded
+        corpus). For a huge eval registry (hundreds of benchmarks x long
+        n-grams) that exceeds broadcast limits. The degenerate-gram cap is
+        applied unconditionally on this path (``FALLBACK_MAX_GRAM_EVAL_DOCS``
+        when the caller set none) — without the broadcast, a boilerplate
+        gram is a hot shuffle key.
+      * ``None`` (default) — measured selection: count the exploded eval
+        rows (one job over the SMALL side only; the train corpus is never
+        touched) and broadcast iff it is under ``BROADCAST_MAX_EVAL_GRAMS``.
+
+    Both paths produce identical results on the same inputs when the same cap
+    applies (tests/test_contamination.py asserts it), and neither can plan a
+    BroadcastNestedLoopJoin (equi-join on gram; plan-asserted).
     """
     ev = (
         with_shingles(eval_df, n)
         .select(F.col(id_col).alias("eval_id"), F.explode("sh").alias("gram"))
     )
+    if broadcast_eval is None:
+        broadcast_eval = ev.count() <= BROADCAST_MAX_EVAL_GRAMS
+    if not broadcast_eval and max_gram_eval_docs is None:
+        max_gram_eval_docs = FALLBACK_MAX_GRAM_EVAL_DOCS
     if max_gram_eval_docs is not None:
         ok = (
             ev.groupBy("gram")
@@ -64,9 +100,13 @@ def contamination_pairs(
         with_shingles(train, n)
         .select(F.col(id_col).alias("train_id"), F.explode("sh").alias("gram"))
     )
-    return (
+    joined = (
         tr.join(F.broadcast(ev), "gram")
-        .groupBy("train_id", "eval_id")
+        if broadcast_eval
+        else tr.join(ev.hint("shuffle_hash"), "gram")
+    )
+    return (
+        joined.groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )

@@ -130,9 +130,15 @@ def shard_assign(
     hash-based (not id % n) so clustered/sequential id ranges still balance.
     Map-only, no shuffle; at write time ``df.repartition(n, 'shard')``
     co-locates each shard's rows (one shuffle, the export's only one).
+
+    Balance bound: the modulo folds a 65,536-value bucket space, so shards
+    receive either floor(65536/n) or ceil(65536/n) buckets — a relative
+    imbalance of at most n/65536. ``n_shards`` is capped at 4096 to keep
+    that bias under ~6% (at the old 65536 bound a non-power-of-2 count
+    could skew doc counts up to ~2x); power-of-2 counts are exactly even.
     """
-    if not 1 <= n_shards <= 65536:
-        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    if not 1 <= n_shards <= 4096:
+        raise ValueError(f"n_shards must be in [1, 4096], got {n_shards}")
     h = _bucket(F.col(id_col), salt)
     return df.withColumn(
         "shard", (F.conv(h, 16, 10).cast("int") % n_shards).cast("int")

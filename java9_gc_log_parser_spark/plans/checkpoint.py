@@ -105,7 +105,23 @@ def run_batch(
     root: str,
     batch_id: int,
     n_batches: int,
+    verify_commit: bool = False,
 ) -> BatchResult:
+    """Process one micro-batch: read its bucket, write every sink, append the
+    manifest line.
+
+    ``verify_commit``: the sink row metric is an Observation on the write job
+    — rows *fed to the writer*, not a post-commit read-back, so a silent
+    commit truncation would go unnoticed by the metric alone (the pre-r2 code
+    re-read every sink, which doubles as an integrity check but re-scans the
+    entire output per sink per batch — at 100 TB, re-reading everything just
+    written). Setting ``verify_commit=True`` restores the check cheaply: one
+    count() read-back of the SMALLEST sink (conv_state, O(conversations)
+    rows) per batch, recorded in the manifest as ``commit_check``. Resume
+    correctness never depends on the metric either way: the manifest line is
+    appended only after every sink's write action returned, and a crash
+    before the append re-runs + overwrites the whole batch.
+    """
     bucket_dir = os.path.join(source_path, f"batch_bucket={batch_id}")
     if os.path.isdir(bucket_dir):
         # prepared source: partition-pruned scan — only this bucket's files
@@ -135,6 +151,24 @@ def run_batch(
         obs = Observation(f"sink_rows_{sink}_{batch_id}")
         write_table(df.observe(obs, F.count(F.lit(1)).alias("rows")), out)
         sink_rows[sink] = int(obs.get["rows"])
+    commit_check = None
+    if verify_commit:
+        # cheap integrity spot-check: read back the smallest sink and compare
+        # its committed row count against the Observation metric
+        sink = "conv_state"
+        committed = read_table(
+            spark, os.path.join(root, sink, f"batch={batch_id}")
+        ).count()
+        commit_check = {
+            "sink": sink,
+            "observed": sink_rows[sink],
+            "committed": committed,
+            "ok": committed == sink_rows[sink],
+        }
+        if not commit_check["ok"]:
+            raise RuntimeError(
+                f"commit check failed for batch {batch_id}: {commit_check}"
+            )
     dfs["parsed"].unpersist()
     wall = time.perf_counter() - t0
     rec = {
@@ -142,6 +176,7 @@ def run_batch(
         "status": "ok",
         "rows_in": rows_in,
         "sink_rows": sink_rows,
+        "commit_check": commit_check,
         "wall_s": round(wall, 3),
         "lineage": {
             "source": source_path,
@@ -163,6 +198,7 @@ def run(
     root: str,
     n_batches: int = 8,
     stop_after: int | None = None,
+    verify_commit: bool = False,
 ) -> list[BatchResult]:
     """Run all pending micro-batches (resuming past completed ones).
 
@@ -174,7 +210,10 @@ def run(
     for b in range(n_batches):
         if b in done:
             continue
-        results.append(run_batch(spark, source_path, root, b, n_batches))
+        results.append(
+            run_batch(spark, source_path, root, b, n_batches,
+                      verify_commit=verify_commit)
+        )
         if stop_after is not None and len(results) >= stop_after:
             break
     return results

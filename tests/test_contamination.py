@@ -68,6 +68,60 @@ def test_boilerplate_gram_cap(spark):
     assert set(uncapped) == {(1, 10), (1, 11), (1, 12)}
 
 
+def test_fallback_path_same_result_and_plan_shape(spark):
+    """broadcast_eval=False (huge-eval-registry path) must produce the exact
+    same pairs as the broadcast path under the same cap, via a shuffle HASH
+    join — never a sort-merge over the exploded corpus and never a
+    BroadcastNestedLoopJoin on either path."""
+    from java9_gc_log_parser_spark.operators.contamination import (
+        contamination_pairs,
+    )
+
+    train = [
+        (1, "s", "x y a b c d z"),
+        (2, "s", "a b q r s t u"),
+        (3, "s", "p q r s t u v"),
+    ]
+    eval_rows = [(10, "s", "a b c d"), (11, "s", "c d z q")]
+    kw = dict(n=2, min_overlap=1, max_gram_eval_docs=1000)
+    bc = _pairs(spark, train, eval_rows, broadcast_eval=True, **kw)
+    sh = _pairs(spark, train, eval_rows, broadcast_eval=False, **kw)
+    assert bc == sh and bc  # identical and non-trivial
+
+    for flag in (True, False):
+        df = contamination_pairs(
+            _df(spark, train), _df(spark, eval_rows),
+            broadcast_eval=flag, **kw,
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        if not flag:
+            assert "ShuffledHashJoin" in plan
+
+
+def test_fallback_cap_is_mandatory(spark):
+    """On the non-broadcast path a missing cap is filled with the default:
+    a gram in >FALLBACK_MAX_GRAM_EVAL_DOCS eval docs can never become a hot
+    shuffle key. (Indirectly observable: explicitly passing a tiny cap and
+    passing none must differ when a gram exceeds the tiny cap only.)"""
+    train = [(1, "s", "common header here rare tail gram")]
+    eval_rows = [
+        (10, "s", "common header here rare tail gram"),
+        (11, "s", "common header here other words follow"),
+        (12, "s", "common header here more filler text"),
+    ]
+    capped = _pairs(spark, train, eval_rows, n=3, min_overlap=1,
+                    max_gram_eval_docs=1, broadcast_eval=False)
+    assert set(capped) == {(1, 10)}
+    default_cap = _pairs(spark, train, eval_rows, n=3, min_overlap=1,
+                         broadcast_eval=False)
+    # default fallback cap (1000) keeps the 3-eval-doc gram
+    assert set(default_cap) == {(1, 10), (1, 11), (1, 12)}
+
+
 def test_decontaminate_removes_flagged_only(spark):
     train = [
         (1, "s", "x y a b c d z"),
