@@ -447,11 +447,108 @@ def simhash_pairs(
 # Duplicate-cluster resolution (connected components + canonical pick)
 # ---------------------------------------------------------------------------
 
+def _min_nbr(edges: DataFrame) -> DataFrame:
+    """(u, m): the minimum over u's neighborhood INCLUDING u itself."""
+    return (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every neighbor LARGER than u re-points to min(Γ(u)∪{u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        sym.join(_min_nbr(sym), "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge large->small, then every smaller
+    neighbor (and u itself) re-points to the minimum."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    j = o.join(_min_nbr(o), "u")
+    out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        j.select("u", F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def star_contract(
+    pairs: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star contraction
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*, SoCC'14
+    — public algorithm, re-derived here as DataFrame ops).
+
+    Input: undirected near-dup pairs ``(doc_a, doc_b)``. Output: a
+    ``(id, label)`` DataFrame mapping every paired node to its component
+    minimum, plus the round count actually used.
+
+    Contrast with min-label propagation (``dedup_clusters`` default): label
+    propagation needs rounds = component DIAMETER — fine for blob-shaped
+    near-dup clusters, O(n) for a chain-shaped duplicate graph (iteratively
+    edited boilerplate where version i only resembles version i±1). The
+    alternating contraction halves tree heights each round: O(log n) rounds
+    on a path graph (property-tested on a 1,000-node path), at ~2x the
+    per-round cost (two join+agg passes instead of one).
+
+    Per-round shape: each star op is one hash agg (min per node) + one
+    equi-join on u — same shuffle count as a label-prop round, over an edge
+    set that only shrinks (star ops never add edges beyond the node count).
+    Rounds are localCheckpoint()ed for lineage truncation; convergence is
+    detected by an (edge-count, hash-sum) signature of the checkpointed edge
+    set — one tiny agg job per round, no exceptAll shuffle. (A 64-bit
+    hash-sum tie at equal counts on *different* edge sets is a ~2^-64
+    event; the signature is over already-materialized data.)
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        # decimal(38,0) sum: a plain long sum of 64-bit hashes overflows
+        # (ANSI mode fail-stops on it); decimal is exact to 10^38
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return int(row["n"] or 0), int(row["h"] or 0)
+
+    prev = _sig(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged star forest: edges point child -> component root
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    return labels.unionByName(roots).distinct(), rounds
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    method: str = "label_prop",
 ) -> DataFrame:
     """Resolve near-dup *pairs* into duplicate *clusters* and a keep-list.
 
@@ -463,14 +560,15 @@ def dedup_clusters(
     (its own id for singletons) and ``keep`` marks the canonical
     representative — ``filter(keep)`` IS the deduplicated corpus.
 
-    Algorithm: distributed min-label propagation over the undirected pair
-    graph — per round, every node takes the min label across itself and its
-    neighbors (one equi-join + one hash groupBy = two shuffles per round),
-    until a fixpoint. Rounds needed = component diameter, small by
-    construction for near-dup clusters (dense blobs around shared content;
-    the alternating large-star/small-star contraction of Kiveris et al.
-    would cut worst-case rounds to O(log d) at ~2x the per-round cost —
-    the right trade only for adversarially chain-shaped graphs).
+    Algorithm (``method="label_prop"``, default): distributed min-label
+    propagation over the undirected pair graph — per round, every node takes
+    the min label across itself and its neighbors (one equi-join + one hash
+    groupBy = two shuffles per round), until a fixpoint. Rounds needed =
+    component diameter, small by construction for near-dup clusters (dense
+    blobs around shared content). ``method="star"`` switches to the
+    alternating large-star/small-star contraction (:func:`star_contract`) —
+    O(log n) rounds on chain-shaped duplicate graphs at ~2x the per-round
+    cost; identical output (property-tested).
 
     Scale notes (100 TB): the edge set is tiny relative to the corpus (only
     docs with a near-dup appear), and iteration state is one (id, label) row
@@ -480,6 +578,19 @@ def dedup_clusters(
     re-execution cliff on any retry); on a multi-tenant cluster prefer
     reliable checkpoint(dir) for executor-loss resilience.
     """
+    if method == "star":
+        star_labels, _rounds = star_contract(pairs, max_iter)
+        out = docs.select(id_col).join(
+            star_labels.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        cluster = F.coalesce(F.col("label"), F.col(id_col))
+        return out.select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            (cluster == F.col(id_col)).alias("keep"),
+        )
+    if method != "label_prop":
+        raise ValueError(f"unknown method {method!r}")
     spark = docs.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

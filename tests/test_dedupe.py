@@ -258,3 +258,48 @@ def test_dedup_clusters_empty_pairs(spark):
     rows = [(i, "s", f"doc {i}") for i in range(3)]
     got = _clusters(spark, rows, [])
     assert got == {i: (i, True) for i in range(3)}
+
+
+def test_star_contract_path_graph_olog_rounds(spark):
+    """The adversarial case for label propagation: a 1,000-node PATH graph
+    (diameter 999 -> label prop needs 999 rounds). The alternating
+    large-star/small-star contraction must converge in O(log n) rounds and
+    still label every node with the component minimum (0)."""
+    from java9_gc_log_parser_spark.operators.dedupe import star_contract
+
+    n = 1000
+    pairs = spark.range(n - 1).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b"
+    )
+    labels, rounds = star_contract(pairs, max_iter=25)
+    # Kiveris et al. bound: O(log^2 n) worst case, ~log2(n) in practice;
+    # anything near the 999-round diameter means the contraction is broken
+    assert rounds <= 15, rounds
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}
+
+
+def test_dedup_clusters_star_equals_label_prop(spark):
+    """Both methods are the same operator contract: identical
+    (cluster_id, keep) output on a mixed graph (two blobs + a chain +
+    singletons)."""
+    from java9_gc_log_parser_spark.operators.dedupe import dedup_clusters
+
+    rows = [(i, "s", f"doc {i}") for i in range(12)]
+    docs = _docs(spark, rows)
+    pairs = spark.createDataFrame(
+        # blob {0,1,2} (triangle), chain 3-4-5-6, pair (8,9), dup edge, rev
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (5, 6), (8, 9), (1, 0)],
+        "doc_a long, doc_b long",
+    )
+    lp = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, pairs, method="label_prop").collect()
+    }
+    st = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, pairs, method="star").collect()
+    }
+    assert lp == st
+    assert lp[3] == (3, True) and lp[6] == (3, False) and lp[11] == (11, True)
