@@ -292,6 +292,81 @@ def q26_stream_assembled(spark, sf_dir):
     return spark.read.parquet(outp).select(*_ASSEMBLED_COLS)
 
 
+def q49_stream_late_dead_letter(spark, sf_dir):
+    """Event-time late-data dead-lettering (SURVEY §2.9 ST2, the round-2
+    verdict's #1 gap): the streaming assembler runs with an event-time
+    watermark (lateness > the data's full ts span, so no group can expire
+    while the out-of-order backlog drains), then the watermark is pushed
+    past every straggler's deadline by two parseable sentinel lines — the
+    dead letters that fire must equal the BATCH assembler's error table,
+    verdicts AND byte-identical messages (q07's oracle, minus ts).
+
+    Reference capability: live-mode failure semantics
+    (GcLogStream.scala:45-51 + CollectPauseLines.scala:31-43), upgraded
+    from fail-stop to dead-letter with data-time (not wall-clock) expiry.
+    The sentinels are start-only groups: dangling state both engines
+    silently discard, so they alter nothing downstream."""
+    import datetime
+    import shutil
+
+    from java9_gc_log_parser_spark.streaming.assembler import stream_assembled
+
+    root = _scratch(sf_dir, "q49")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    tdf = synth_transcripts(spark, sf_dir)
+    lo, hi = tdf.agg(F.min("ts"), F.max("ts")).first()
+    span_ms = int((hi - lo).total_seconds() * 1000)
+    # deadline(group) <= hi + lateness; watermark during the drain stays
+    # <= hi - lateness < lo - 60s, so nothing expires before the backlog
+    # is fully assembled (files are scattered out of order like q26)
+    lateness_ms = span_ms + 60_000
+    tdf.repartition(32).write.parquet(src)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        def drain():
+            q = (
+                stream_assembled(spark, src, _INPUT_SCHEMA,
+                                 lateness_ms=lateness_ms,
+                                 max_files_per_trigger=16)
+                .filter(F.col("verdict") != "ok")
+                .select(
+                    "conv_id", "event_id",
+                    F.col("verdict").alias("error_code"), "error_message",
+                )
+                .writeStream.format("parquet")
+                .option("path", outp)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_drained(q)
+
+        drain()  # full backlog; watermark still below every deadline
+        # sentinel 1 moves the watermark past all deadlines; sentinel 2
+        # gives the expired timers a batch to fire in
+        for i in (1, 2):
+            sent_ts = hi + datetime.timedelta(
+                milliseconds=2 * lateness_ms, minutes=i
+            )
+            row = [(
+                "__wm__", i, "assistant",
+                f"[9.0s][info][gc,start     ] GC({990000 + i}) Pause Young "
+                "(G1 Evacuation Pause)",
+                None, sent_ts,
+            )]
+            spark.createDataFrame(row, _INPUT_SCHEMA).write.mode(
+                "append"
+            ).parquet(src)
+            drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outp)
+
+
 def q27_checkpoint_resume(spark, sf_dir):
     """Checkpointed micro-batch runner: partition-pruned batches, simulated
     crash after 2 of 4, resume, then the re-read assembled sink must equal
@@ -554,6 +629,78 @@ def q48_encoding_audit(spark, sf_dir):
     return encoding_audit(_docs(spark, sf_dir))
 
 
+def q50_curation_e2e(spark, sf_dir):
+    """Flagship composed curation pipeline (round-2 verdict item 7): quality
+    gate -> exact dedup -> near-dup cluster resolution -> benchmark
+    decontamination -> token-budget mixture sampling -> export shard
+    manifest, as ONE pipeline whose final manifest is oracle-checked by a
+    DuckDB CTE chain recomputing every stage from the raw documents.
+
+    Composition-at-scale shape: two stage-family boundaries are materialized
+    through the storage seam (post-exact-dedup, post-decontamination) — at
+    10^12 rows each family (pair-generating joins; mixture's two passes)
+    re-reads a compact materialized table instead of recomputing the whole
+    upstream chain per branch. The final plan scans ONLY the last
+    materialized stage (plan-asserted in tests/test_plans.py)."""
+    import shutil
+
+    from java9_gc_log_parser_spark.operators.contamination import decontaminate
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from java9_gc_log_parser_spark.operators.sampling import (
+        hash_split,
+        mixture_sample,
+        shard_manifest,
+    )
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        corpus_filter,
+        dedup_exact,
+    )
+    from java9_gc_log_parser_spark.storage import read_table, write_table
+
+    root = _scratch(sf_dir, "q50")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+
+    # stage 1+2: composite quality gate, then exact dedup WITHIN the kept set
+    kept = corpus_filter(docs).filter(F.col("keep")).select("doc_id")
+    docs1 = docs.join(kept, "doc_id")
+    canon = dedup_exact(docs1).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    write_table(docs1.join(canon, "doc_id"), f"{root}/stage2")
+    docs2 = read_table(spark, f"{root}/stage2")
+
+    # stage 3: near-dup cluster resolution, keep canonical members
+    clusters = dedup_clusters(
+        docs2, ngram_jaccard_pairs(docs2, n=1, threshold=0.5)
+    )
+    docs3 = docs2.join(
+        clusters.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+
+    # stage 4: decontaminate against the eval registry (the test split of
+    # the ORIGINAL corpus stands in for external benchmarks — this also
+    # removes eval members themselves from the training set)
+    eval_docs = hash_split(docs).filter(F.col("split") == "test").drop("split")
+    write_table(
+        decontaminate(docs3, eval_docs, n=4, min_overlap=2), f"{root}/stage4"
+    )
+    docs4 = read_table(spark, f"{root}/stage4")
+
+    # stage 5+6: token-budget mixture (q47's weights), shard manifest
+    w = (
+        F.when(
+            F.substring(F.col("source"), 4, 8).cast("int") % 2 == 0,
+            F.lit(2.0),
+        ).otherwise(F.lit(1.0))
+    )
+    picked = mixture_sample(docs4, w, token_budget=10000.0).select("doc_id")
+    return shard_manifest(docs4.join(picked, "doc_id"), n_shards=8)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -728,6 +875,20 @@ SELECT conv_id, event_id, pause_type, reason, offset_ms, duration_ms,
        heap_before, heap_after, heap_total,
        eden_after, survivor_after, old_after, humongous_after
 FROM easm WHERE verdict = 'ok'
+""",
+    # event-time-expired streaming dead letters == batch error table
+    # (q07's oracle minus ts; the streaming output carries no timestamp)
+    "q49_stream_late_dead_letter": O.with_ctes() + """
+SELECT conv_id, event_id, verdict AS error_code,
+       CASE WHEN verdict = 'end_before_start'
+            THEN 'Received PauseEnd before PauseStart. Either a bug or '
+                 || 'invalid GC log. EventId: ' || CAST(event_id AS STRING)
+            ELSE 'Received PauseEnd without receiving region information. '
+                 || 'Either a bug or invalid GC log. '
+                 || 'Regions: {Eden,Survivor,Humongous}. EventId: '
+                 || CAST(event_id AS STRING)
+       END AS error_message
+FROM easm WHERE verdict <> 'ok'
 """,
     # crash+resume checkpointed sinks == single-shot batch (q06's oracle)
     "q27_checkpoint_resume": O.with_ctes() + """
@@ -1374,6 +1535,130 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:v1'), 1, 4))
         ::INTEGER < gates.bound
 """
 
+# q50: the full curation chain recomputed stage by stage from raw documents —
+# quality gate (q40's conditions) -> exact dedup (q13's canonical) -> unigram
+# near-dup transitive closure (q29's recursive CTE, restricted to survivors)
+# -> 4-gram decontamination vs the test split of the ORIGINAL corpus (q32's
+# shingler) -> token-budget mixture gate (q47's md5 gate over the cleaned
+# corpus's own per-source totals) -> shard manifest (q45's rollup)
+_ORACLES["q50_curation_e2e"] = (
+    _DTOK.replace("WITH dtok", "WITH RECURSIVE dtok", 1) + _REP_CTES + f"""
+, q AS ({_Q15_BODY}),
+l AS ({_Q16_BODY}),
+d1 AS (
+  SELECT dtok.* FROM dtok
+  JOIN q ON q.doc_id = dtok.doc_id
+  JOIN fr ON fr.doc_id = dtok.doc_id
+  JOIN l ON l.doc_id = dtok.doc_id
+  WHERE q.quality_score >= 0.5
+    AND NOT (fr.top_2gram_frac > 0.20 OR fr.dup_3gram_frac > 0.20)
+    AND l.pred_lang = 'en'
+    AND len(dtok.toks) >= 5
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM d1)
+  GROUP BY h
+),
+d2 AS (SELECT d1.* FROM d1 JOIN canon USING (doc_id)),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      ROUND(CASE WHEN len(list_distinct(list_concat(a.lt, b.lt))) > 0
+        THEN CAST(len(list_intersect(a.lt, b.lt)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.lt, b.lt)))
+        ELSE 0.0 END, 6) AS j
+    FROM (SELECT doc_id, source, list_distinct(ltoks) AS lt FROM d2) a
+    JOIN (SELECT doc_id, source, list_distinct(ltoks) AS lt FROM d2) b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+  ) WHERE j >= 0.5
+),
+cedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM cedges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+  FROM reach GROUP BY src
+),
+d3 AS (
+  SELECT d2.* FROM d2 LEFT JOIN comp USING (doc_id)
+  WHERE COALESCE(comp.cluster_id, d2.doc_id) = d2.doc_id
+),
+tg AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(ltoks) >= 4
+      THEN list_distinct(list_transform(
+             range(1, len(ltoks) - 2),
+             i -> array_to_string(ltoks[i:i+3], ' ')))
+      ELSE [array_to_string(ltoks, ' ')] END) AS gram
+  FROM d3
+),
+eg AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(ltoks) >= 4
+      THEN list_distinct(list_transform(
+             range(1, len(ltoks) - 2),
+             i -> array_to_string(ltoks[i:i+3], ' ')))
+      ELSE [array_to_string(ltoks, ' ')] END) AS gram
+  FROM dtok WHERE {_split_case_sql()} = 'test'
+),
+flagged AS (
+  SELECT DISTINCT train_id FROM (
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+    FROM tg t JOIN eg e USING (gram)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+  )
+),
+d4 AS (
+  SELECT d3.* FROM d3
+  WHERE doc_id NOT IN (SELECT train_id FROM flagged)
+),
+wdoc AS (
+  SELECT doc_id, source, len(toks) AS nt,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 2.0 ELSE 1.0 END AS w
+  FROM d4
+),
+per_src AS (
+  SELECT source, CAST(SUM(nt) AS DOUBLE) AS actual, FIRST(w) AS sw
+  FROM wdoc GROUP BY source
+),
+ws AS (SELECT SUM(sw) AS wsum FROM per_src),
+gates AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0, (10000.0 * sw / ws.wsum) / actual) * 65536)
+              AS INTEGER) AS bound
+  FROM per_src CROSS JOIN ws
+),
+picked AS (
+  SELECT d.doc_id, d.nt FROM wdoc d JOIN gates USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:v1'), 1, 4))
+          ::INTEGER < gates.bound
+),
+sh AS (
+  SELECT doc_id, nt,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:v1'), 1, 4))
+           ::INTEGER % 8 AS shard
+  FROM picked
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM sh GROUP BY shard
+"""
+)
+
 _ORACLES["q46_zipf_topk"] = _DTOK + """
 , wc AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1464,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_zipf_topk": q46_zipf_topk,
         "q47_mixture_sample": q47_mixture_sample,
         "q48_encoding_audit": q48_encoding_audit,
+        "q49_stream_late_dead_letter": q49_stream_late_dead_letter,
+        "q50_curation_e2e": q50_curation_e2e,
     }
 
 

@@ -252,3 +252,19 @@ def test_zipf_head_is_take_ordered_not_global_sort(spark, sf_dir):
     df = entrymod.queries()["q46_zipf_topk"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_e2e_final_plan_scans_only_last_stage(spark, sf_dir):
+    """q50: the composed curation pipeline materializes two stage-family
+    boundaries through the storage seam; the FINAL manifest plan must scan
+    only the last materialized stage (stage4) — never re-read the raw
+    documents table or the earlier stage2 materialization. At 10^12 rows a
+    plan that silently re-derives an upstream stage per branch re-scans the
+    whole corpus once per downstream consumer."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q50_curation_e2e"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "stage4" in plan
+    assert "documents.parquet" not in plan
+    assert "stage2" not in plan

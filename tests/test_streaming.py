@@ -118,6 +118,84 @@ def test_straggler_timeout_dead_letter(spark, tmp_path):
     assert errs[0].event_id == 7
 
 
+def test_event_time_watermark_dead_letter(spark, tmp_path):
+    """Event-time lateness: a straggler dead-letters only when the WATERMARK
+    (data time) moves `lateness` past it — never on wall clock — and carries
+    the batch assembler's byte-identical error message. A group completed
+    within the lateness window must emit ok and never dead-letter."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def drain():
+        q = (
+            stream_assembled(spark, src, INPUT_SCHEMA, lateness_ms=5000)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    def read_out():
+        return spark.read.parquet(out)
+
+    rows = [
+        # straggler: end with no start (GC(7), Young => needs start+regions)
+        Row(conv_id="c1", turn_idx=0, role="assistant",
+            text="[1.5s][info][gc           ] GC(7) Pause Young "
+                 "(G1 Evacuation Pause) 10M->5M(64M) 2.0ms",
+            tool=None, ts=t0),
+        # complete Remark group (start+end suffice, no regions)
+        Row(conv_id="c1", turn_idx=1, role="assistant",
+            text="[2.0s][info][gc,start     ] GC(9) Pause Remark",
+            tool=None, ts=t0),
+        Row(conv_id="c1", turn_idx=2, role="assistant",
+            text="[2.1s][info][gc           ] GC(9) Pause Remark "
+                 "11M->10M(64M) 1.0ms",
+            tool=None, ts=t0 + datetime.timedelta(seconds=2)),
+    ]
+    spark.createDataFrame(rows, INPUT_SCHEMA).write.mode("append").parquet(src)
+    drain()
+    got = read_out()
+    assert got.filter("verdict = 'ok'").count() == 1  # Remark completed
+    # wall clock has LONG passed 5s of event time relative to nothing —
+    # but the watermark hasn't moved past t0+5s, so no dead letter yet
+    assert got.filter("verdict <> 'ok'").count() == 0
+
+    # watermark advance via parseable start-only lines with later event
+    # times (unmatched free text never reaches the watermark node — the
+    # class filter is pushed below it; a start-only group parks as dangling
+    # state that both engines silently discard). Two drains: the first
+    # moves the watermark past the deadline, the second gives the timer a
+    # batch to fire in.
+    for minutes, gc in ((10, 9001), (11, 9002)):
+        Rowi = Row(conv_id="wm", turn_idx=0, role="assistant",
+                   text=f"[99.0s][info][gc,start     ] GC({gc}) Pause Young "
+                        "(G1 Evacuation Pause)",
+                   tool=None, ts=t0 + datetime.timedelta(minutes=minutes))
+        spark.createDataFrame([Rowi], INPUT_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+
+    errs = read_out().filter("verdict <> 'ok'").collect()
+    assert len(errs) == 1
+    assert errs[0].verdict == "end_before_start"
+    assert errs[0].event_id == 7
+    assert errs[0].error_message == (
+        "Received PauseEnd before PauseStart. Either a bug or invalid GC "
+        "log. EventId: 7"
+    )
+
+
 def test_stream_conv_state_matches_batch_final(spark, stream_source, tmp_path):
     """After the snapshot stream drains, the cumulative state equals the
     batch conv_state_final over the same input, and every micro-batch left a
