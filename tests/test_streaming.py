@@ -170,21 +170,20 @@ def test_event_time_watermark_dead_letter(spark, tmp_path):
     # but the watermark hasn't moved past t0+5s, so no dead letter yet
     assert got.filter("verdict <> 'ok'").count() == 0
 
-    # watermark advance via parseable start-only lines with later event
-    # times (unmatched free text never reaches the watermark node — the
-    # class filter is pushed below it; a start-only group parks as dangling
-    # state that both engines silently discard). Two drains: the first
-    # moves the watermark past the deadline, the second gives the timer a
-    # batch to fire in.
-    for minutes, gc in ((10, 9001), (11, 9002)):
-        Rowi = Row(conv_id="wm", turn_idx=0, role="assistant",
-                   text=f"[99.0s][info][gc,start     ] GC({gc}) Pause Young "
-                        "(G1 Evacuation Pause)",
-                   tool=None, ts=t0 + datetime.timedelta(minutes=minutes))
-        spark.createDataFrame([Rowi], INPUT_SCHEMA).write.mode(
-            "append"
-        ).parquet(src)
-        drain()
+    # watermark advance via ONE parseable start-only line with a later
+    # event time (unmatched free text never reaches the watermark node —
+    # the class filter is pushed below it; a start-only group parks as
+    # dangling state that both engines silently discard). A single drain
+    # suffices: the sentinel's batch advances the watermark, and Spark's
+    # no-data micro-batch fires the expired timer within the same run.
+    Rowi = Row(conv_id="wm", turn_idx=0, role="assistant",
+               text="[99.0s][info][gc,start     ] GC(9001) Pause Young "
+                    "(G1 Evacuation Pause)",
+               tool=None, ts=t0 + datetime.timedelta(minutes=10))
+    spark.createDataFrame([Rowi], INPUT_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
 
     errs = read_out().filter("verdict <> 'ok'").collect()
     assert len(errs) == 1
