@@ -39,7 +39,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..storage import TableRef, read_table, write_table
+from ..storage import (
+    ICEBERG,
+    TableRef,
+    _as_ref,
+    current_snapshot_id,
+    read_table,
+    table_scan_stats,
+    write_table,
+)
 from .pipeline import build
 
 SINKS = ("pause_events", "tool_calls", "dead_letter", "assembled", "conv_state")
@@ -72,36 +80,30 @@ def completed_batches(root: str) -> set[int]:
 def prepare_source(
     spark: SparkSession,
     transcripts: DataFrame,
-    path: str,
+    dest: TableRef | str,
     n_batches: int,
-) -> str:
-    """Write the transcripts bucketed into ``batch_bucket`` partition dirs.
+) -> TableRef:
+    """Write the transcripts bucketed by ``batch_bucket`` as the table's
+    partition layout (partition dirs on parquet, partition spec on Iceberg).
 
     One full pass over the input; every subsequent micro-batch (and any
-    re-run/resume) scans exactly one partition directory. On a real cluster
-    this is the Iceberg table's partition spec, written once at ingest.
+    re-run/resume) scans exactly one partition — partition-dir pruning on
+    parquet, manifest-level partition pruning on Iceberg.
     """
+    ref = _as_ref(dest)
+    ref = TableRef(ref.location, format=ref.format,
+                   partition_by=("batch_bucket",))
     bucketed = transcripts.withColumn(
         "batch_bucket",
         F.pmod(F.xxhash64("conv_id"), F.lit(n_batches)).cast("int"),
     ).repartition("batch_bucket")
-    write_table(bucketed, TableRef(path, partition_by=("batch_bucket",)))
-    return path
-
-
-def _dir_scan_stats(path: str) -> tuple[int, int]:
-    n_files, n_bytes = 0, 0
-    for dirpath, _dirnames, filenames in os.walk(path):
-        for fn in filenames:
-            if fn.endswith(".parquet"):
-                n_files += 1
-                n_bytes += os.path.getsize(os.path.join(dirpath, fn))
-    return n_files, n_bytes
+    write_table(bucketed, ref)
+    return ref
 
 
 def run_batch(
     spark: SparkSession,
-    source_path: str,
+    source_path: TableRef | str,
     root: str,
     batch_id: int,
     n_batches: int,
@@ -122,21 +124,38 @@ def run_batch(
     appended only after every sink's write action returned, and a crash
     before the append re-runs + overwrites the whole batch.
     """
-    bucket_dir = os.path.join(source_path, f"batch_bucket={batch_id}")
-    if os.path.isdir(bucket_dir):
-        # prepared source: partition-pruned scan — only this bucket's files
+    src = _as_ref(source_path)
+    snapshot = None
+    if src.format == ICEBERG:
+        # prepared Iceberg source: hidden-partition pruning on batch_bucket;
+        # scan evidence from the .files METADATA table (manifest-backed),
+        # never a filesystem walk — the driver cannot see a cluster's files
         predicate = f"batch_bucket = {batch_id}"
         transcripts = (
-            read_table(spark, source_path)
+            read_table(spark, src)
             .filter(F.col("batch_bucket") == batch_id)
             .drop("batch_bucket")
         )
-        scan_files, scan_bytes = _dir_scan_stats(bucket_dir)
+        scan_files, scan_bytes = table_scan_stats(
+            spark, src, where=f"partition.batch_bucket = {batch_id}"
+        )
+        snapshot = current_snapshot_id(spark, src)
+    elif os.path.isdir(
+        bucket_dir := os.path.join(src.location, f"batch_bucket={batch_id}")
+    ):
+        # prepared source: partition-pruned scan — only this bucket's files
+        predicate = f"batch_bucket = {batch_id}"
+        transcripts = (
+            read_table(spark, src.location)
+            .filter(F.col("batch_bucket") == batch_id)
+            .drop("batch_bucket")
+        )
+        scan_files, scan_bytes = table_scan_stats(spark, TableRef(bucket_dir))
     else:
         # raw unpartitioned path: every batch re-scans the full source
         predicate = f"pmod(xxhash64(conv_id), {n_batches}) = {batch_id}"
-        transcripts = read_table(spark, source_path).filter(F.expr(predicate))
-        scan_files, scan_bytes = _dir_scan_stats(source_path)
+        transcripts = read_table(spark, src.location).filter(F.expr(predicate))
+        scan_files, scan_bytes = table_scan_stats(spark, src)
     t0 = time.perf_counter()
     dfs = build(transcripts, persist=True)
     rows_in = dfs["parsed"].count()
@@ -179,10 +198,15 @@ def run_batch(
         "commit_check": commit_check,
         "wall_s": round(wall, 3),
         "lineage": {
-            "source": source_path,
+            "source": src.location,
+            "format": src.format,
             "predicate": predicate,
             "scan_files": scan_files,
             "scan_bytes": scan_bytes,
+            # Iceberg: the snapshot this batch read — the next incremental
+            # run reads TableRef(start_snapshot_id=<this>) to scan only
+            # rows committed since (storage.current_snapshot_id docstring)
+            "snapshot_id": snapshot,
         },
         "n_batches": n_batches,
     }
@@ -194,7 +218,7 @@ def run_batch(
 
 def run(
     spark: SparkSession,
-    source_path: str,
+    source_path: TableRef | str,
     root: str,
     n_batches: int = 8,
     stop_after: int | None = None,

@@ -1,12 +1,24 @@
-"""Table-storage seam (SURVEY §7 risk item): Iceberg-shaped API over parquet.
+"""Table-storage seam (SURVEY §7 risk item): one API, parquet + Iceberg legs.
 
 The north rule targets Iceberg tables of transcripts at 10^12-turn scale:
 sources become snapshot-ranged incremental scans, sinks become transactional
 appends / overwrite-by-filter, and the checkpoint runner's ``batch_bucket``
-becomes the table's partition spec. This sandbox has no Iceberg runtime jar,
-so callers go through this seam instead of hard-coding
-``spark.read.parquet``: swapping the format to ``iceberg`` (once the runtime
-+ catalog are on the classpath) changes no call sites.
+becomes the table's partition spec. Callers go through this seam instead of
+hard-coding ``spark.read.parquet``: a ``TableRef(format="iceberg")`` changes
+no call sites.
+
+The Iceberg leg is REAL code gated on a runtime check
+(:func:`iceberg_available` — is the Iceberg Spark runtime on the JVM
+classpath?), not a stub: reads thread snapshot pins and snapshot-range
+incremental scans (``snapshot-id`` / ``start-snapshot-id`` /
+``end-snapshot-id`` options, the replacement for the reference's byte-offset
+file tail, ``GcLogStream.scala:45-51``); writes go through the
+DataFrameWriterV2 transactional API (``createOrReplace`` / ``append`` /
+``overwritePartitions`` / ``overwrite(condition)`` for overwrite-by-filter).
+This sandbox ships no Iceberg jar, so those paths raise a clear error here
+and their tests skip (tests/test_storage.py) — on a cluster with
+``iceberg-spark-runtime`` on the classpath and a catalog configured they are
+the primary leg.
 
 Reference parity note: the reference hard-codes one file path from config
 (``application.conf:18`` -> ``GcService.scala``); this seam is the
@@ -37,18 +49,61 @@ class TableRef:
     #: for those: schema inference is a full extra pass over the data and is
     #: non-deterministic under sampling at 100 TB
     schema: str | None = None
+    #: Iceberg time travel: read exactly this snapshot
+    snapshot_id: int | None = None
+    #: Iceberg incremental read: rows appended AFTER this snapshot
+    #: (exclusive) up to ``end_snapshot_id`` (inclusive; current if None).
+    #: This is the checkpoint runner's "what's new since my manifest" scan —
+    #: the table-scale replacement for the reference's file-tail byte offset.
+    start_snapshot_id: int | None = None
+    end_snapshot_id: int | None = None
 
 
 def _as_ref(table: TableRef | str) -> TableRef:
     return table if isinstance(table, TableRef) else TableRef(table)
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath.
+
+    Checked at runtime (Class.forName), not import time: the jar arrives via
+    ``--packages``/``--jars`` on a real cluster, never via pip.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_iceberg(spark: SparkSession, ref: TableRef) -> None:
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            f"table {ref.location!r} has format='iceberg' but no Iceberg "
+            "Spark runtime is on the JVM classpath — add "
+            "iceberg-spark-runtime via --packages/--jars and configure a "
+            "catalog, or use format='parquet'"
+        )
+
+
 def read_table(spark: SparkSession, table: TableRef | str) -> DataFrame:
     ref = _as_ref(table)
     if ref.format == ICEBERG:
-        # catalog-resolved name; snapshot options (as-of, incremental) would
-        # be threaded here
-        return spark.read.format(ICEBERG).load(ref.location)
+        _require_iceberg(spark, ref)
+        reader = spark.read.format(ICEBERG)
+        if ref.snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(ref.snapshot_id))
+        if ref.start_snapshot_id is not None:
+            reader = reader.option(
+                "start-snapshot-id", str(ref.start_snapshot_id)
+            )
+        if ref.end_snapshot_id is not None:
+            reader = reader.option(
+                "end-snapshot-id", str(ref.end_snapshot_id)
+            )
+        return reader.load(ref.location)
     if ref.format in (JSONL, CSV):
         if ref.schema is None:
             raise ValueError(
@@ -78,14 +133,48 @@ def write_table(
     df: DataFrame,
     table: TableRef | str,
     mode: str = "overwrite",
+    overwrite_where: str | None = None,
 ) -> None:
+    """Write ``df`` to ``table``.
+
+    ``mode``: "overwrite" (default) or "append". ``overwrite_where`` (Iceberg
+    only): SQL predicate for transactional overwrite-by-filter — replaces
+    exactly the matching rows in one snapshot commit, the idempotent-batch
+    primitive the checkpoint runner's ``batch={id}/`` directory overwrite
+    emulates on parquet.
+    """
     ref = _as_ref(table)
+    if ref.format == ICEBERG:
+        _require_iceberg(df.sparkSession, ref)
+        from pyspark.sql import functions as F
+
+        w = df.writeTo(ref.location)
+        if overwrite_where is not None:
+            w.overwrite(F.expr(overwrite_where))
+            return
+        if mode == "append":
+            w.append()
+            return
+        if df.sparkSession.catalog.tableExists(ref.location):
+            if ref.partition_by:
+                # replace only the partitions present in df — the dynamic
+                # idempotent re-run primitive
+                w.overwritePartitions()
+            else:
+                w.createOrReplace()
+            return
+        if ref.partition_by:
+            # one call: DataFrameWriterV2.partitionedBy REPLACES the spec,
+            # it does not accumulate across calls
+            cols = [F.col(c) for c in ref.partition_by]
+            w = w.partitionedBy(cols[0], *cols[1:])
+        w.create()
+        return
+    if overwrite_where is not None:
+        raise ValueError("overwrite_where requires format='iceberg'")
     writer = df.write.mode(mode)
     if ref.partition_by:
         writer = writer.partitionBy(*ref.partition_by)
-    if ref.format == ICEBERG:
-        writer.format(ICEBERG).saveAsTable(ref.location)
-        return
     if ref.format == JSONL:
         writer.option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
@@ -97,6 +186,61 @@ def write_table(
         ).csv(ref.location)
         return
     writer.parquet(ref.location)
+
+
+def current_snapshot_id(spark: SparkSession, table: TableRef | str) -> int | None:
+    """Latest committed Iceberg snapshot id (None for an empty table).
+
+    The checkpoint runner records this in its manifest after each batch; the
+    next run reads ``TableRef(start_snapshot_id=<recorded>)`` to scan only
+    rows committed since — exact incremental resume with no re-scan.
+    """
+    ref = _as_ref(table)
+    _require_iceberg(spark, ref)
+    rows = (
+        spark.read.format(ICEBERG)
+        .load(f"{ref.location}.snapshots")
+        .orderBy("committed_at", ascending=False)
+        .select("snapshot_id")
+        .take(1)
+    )
+    return int(rows[0][0]) if rows else None
+
+
+def table_scan_stats(
+    spark: SparkSession, table: TableRef | str, where: str | None = None
+) -> tuple[int, int]:
+    """(file_count, total_bytes) a scan of ``table`` would read — lineage
+    evidence for the checkpoint manifest.
+
+    Iceberg leg: one query over the ``.files`` METADATA table (manifest-backed,
+    never touches data files; ``where`` on partition columns narrows it to the
+    pruned scan). Parquet leg: a local filesystem walk — correct only where
+    the driver can see the files (this sandbox); a real cluster should either
+    use the Iceberg leg or go through the Hadoop FileSystem API.
+    """
+    ref = _as_ref(table)
+    if ref.format == ICEBERG:
+        _require_iceberg(spark, ref)
+        from pyspark.sql import functions as F
+
+        files = spark.read.format(ICEBERG).load(f"{ref.location}.files")
+        if where is not None:
+            files = files.filter(F.expr(where))
+        row = files.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("file_size_in_bytes"), F.lit(0)).alias("b"),
+        ).first()
+        return int(row["n"]), int(row["b"])
+    import os
+
+    n_files, n_bytes = 0, 0
+    for dirpath, _dirnames, filenames in os.walk(ref.location):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(dirpath, fn))
+    return n_files, n_bytes
 
 
 def table_exists(spark: SparkSession, table: TableRef | str) -> bool:

@@ -39,3 +39,83 @@ def test_text_format_roundtrip(spark, tmp_path, fmt):
 def test_text_format_requires_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="schema"):
         read_table(spark, TableRef(str(tmp_path / "x"), format="jsonl"))
+
+
+def test_parquet_scan_stats(spark, tmp_path):
+    from java9_gc_log_parser_spark.storage import table_scan_stats
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "t_stats")
+    write_table(df, path)
+    n_files, n_bytes = table_scan_stats(spark, path)
+    assert n_files >= 1
+    assert n_bytes > 0
+
+
+def test_iceberg_unavailable_raises_clear_error(spark, tmp_path):
+    """Without the runtime jar the Iceberg leg must fail fast with an
+    actionable message, not a deep ClassNotFoundException from the JVM."""
+    from java9_gc_log_parser_spark.storage import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — covered by the real-leg tests")
+    ref = TableRef("local.db.t", format="iceberg")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_table(spark, ref)
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        write_table(spark.createDataFrame(ROWS, SCHEMA), ref)
+
+
+def test_overwrite_where_requires_iceberg(spark, tmp_path):
+    with pytest.raises(ValueError, match="overwrite_where"):
+        write_table(
+            spark.createDataFrame(ROWS, SCHEMA),
+            str(tmp_path / "t_ow"),
+            overwrite_where="turn_idx = 0",
+        )
+
+
+def _iceberg_or_skip(spark):
+    from java9_gc_log_parser_spark.storage import iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip(
+            "no Iceberg Spark runtime on the classpath (this sandbox ships "
+            "none); on a cluster run with --packages "
+            "org.apache.iceberg:iceberg-spark-runtime-3.5_2.13 and a "
+            "configured catalog"
+        )
+
+
+def test_iceberg_roundtrip_and_overwrite_partitions(spark, tmp_path):
+    """Real-leg test: create partitioned table, append, dynamic-overwrite one
+    partition, snapshot pin. Skips when the runtime jar is absent."""
+    _iceberg_or_skip(spark)
+    from java9_gc_log_parser_spark.storage import current_snapshot_id
+
+    ref = TableRef(
+        "local.db.transcripts_rt", format="iceberg", partition_by=("role",)
+    )
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write_table(df, ref)
+    snap1 = current_snapshot_id(spark, ref)
+    assert read_table(spark, ref).count() == len(ROWS)
+    write_table(df.filter("role = 'user'"), ref, mode="append")
+    assert read_table(spark, ref).count() == len(ROWS) + 1
+    # time travel back to the first snapshot
+    pinned = TableRef(ref.location, format="iceberg", snapshot_id=snap1)
+    assert read_table(spark, pinned).count() == len(ROWS)
+    # incremental read: only rows committed after snap1
+    inc = TableRef(ref.location, format="iceberg", start_snapshot_id=snap1)
+    assert read_table(spark, inc).count() == 1
+
+
+def test_iceberg_scan_stats_from_metadata(spark, tmp_path):
+    _iceberg_or_skip(spark)
+    from java9_gc_log_parser_spark.storage import table_scan_stats
+
+    ref = TableRef("local.db.transcripts_stats", format="iceberg")
+    write_table(spark.createDataFrame(ROWS, SCHEMA), ref)
+    n_files, n_bytes = table_scan_stats(spark, ref)
+    assert n_files >= 1
+    assert n_bytes > 0
