@@ -63,7 +63,13 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
 GCLP_BENCH_REPEATS (default 2, best-of — headline level AND minimum scaling
 rounds), GCLP_BENCH_MAX_SCALING_ROUNDS (default 5), GCLP_BENCH_TARGET_EFF
 (default 0.8), GCLP_BENCH_SKIP_SCALING=1 to skip the scaling pair (faster
-iteration), SPARK_DRIVER_MEMORY (default: RAM/3 capped at 24g).
+iteration), GCLP_BENCH_SKIP_LIVE=1 to skip the live-trigger latency leg,
+SPARK_DRIVER_MEMORY (default: RAM/3 capped at 24g).
+
+The payload also carries ``live_latency``: per-micro-batch trigger time and
+arrival→commit latency under a 1 s processing-time trigger with files
+arriving during the run (the reference's live 1 s tail cadence,
+GcLogStream.scala:46,50 — see ``_live_latency``).
 """
 
 from __future__ import annotations
@@ -126,6 +132,179 @@ def run_pipeline_once(spark, transcripts_path: str, tag: str = "w") -> float:
     return time.perf_counter() - t0
 
 
+def _pctl(xs: list[float], p: float) -> float | None:
+    if not xs:
+        return None
+    xs = sorted(xs)
+    return xs[max(0, min(len(xs) - 1, round(p * (len(xs) - 1))))]
+
+
+def _live_latency(spark, sf_dir: str, n_drops: int = 10,
+                  cadence_s: float = 1.0) -> dict:
+    """Live-tail cadence leg (reference parity: the 1 s file tail,
+    GcLogStream.scala:46,50 — availableNow drains prove stream==batch
+    CORRECTNESS; this leg proves the LATENCY story).
+
+    Pre-stages ``n_drops`` file drops of the sf transcripts, starts the
+    stateful streaming assembler under a 1 s processing-time trigger, then
+    feeds one drop per second WHILE the query runs. Reports, from the
+    query's own progress events:
+      * trigger_ms p50/p95/max — per-micro-batch execution time; the
+        cadence is sustained iff p95 < the 1 s trigger interval
+      * arrival_to_commit_ms p50/p95 — wall time from a drop's files
+        landing to the batch containing its last row finishing (matched
+        by cumulative input-row counts, no per-row bookkeeping)
+    A warmup drop (disjoint conv ids) is fully consumed before the timed
+    feed starts and its batches are excluded: the first trigger pays
+    Python-worker spin-up + state-store init + JIT (~4 s observed), which
+    is a one-off per stream, not part of the steady-state cadence the
+    reference's long-lived tail runs at (cold-start is reported
+    separately as warmup_ms).
+    State-partition note: 8 shuffle partitions, q26's sizing. Measured
+    both directions: applyInPandasWithState dispatches the Python fn PER
+    GROUP, so 1 partition serializes hundreds of conversation groups
+    (7.2k rows took 5.8 s); but every partition also pays a state-store
+    commit per micro-batch, so 32 partitions buy commit overhead, not
+    parallelism, at ~1k rows/batch. 8 balances the two at this volume.
+    """
+    import datetime as dt
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from java9_gc_log_parser_spark.sources.transcripts import synth_transcripts
+    from java9_gc_log_parser_spark.streaming.assembler import stream_assembled
+
+    root = "/tmp/gclp_bench_live"
+    shutil.rmtree(root, ignore_errors=True)
+    src, stage, ck = f"{root}/src", f"{root}/stage", f"{root}/ckpt"
+    os.makedirs(src)
+
+    # fixed-volume feed (~1k turns/drop, whole conversations): this leg
+    # measures LATENCY at the reference's 1 s tail cadence — throughput is
+    # the batch bench's job — and a fixed drop size keeps the metric
+    # comparable across sf dirs
+    full = synth_transcripts(spark, sf_dir)
+    m = max(1, round(full.count() / (1000 * n_drops)))
+    base = full.filter(
+        F.pmod(F.xxhash64("conv_id", F.lit("live")), F.lit(m)) == 0
+    ).withColumn(
+        "_drop", F.pmod(F.xxhash64("conv_id"), F.lit(n_drops)).cast("int")
+    )
+    base.repartition(2, "_drop").write.partitionBy("_drop").parquet(stage)
+    # warmup feed: same shape, disjoint conv ids (never touches drop state)
+    warm_path = f"{root}/warm"
+    base.filter(F.col("_drop") == 0).drop("_drop").withColumn(
+        "conv_id", F.concat(F.lit("warm_"), F.col("conv_id"))
+    ).coalesce(1).write.parquet(warm_path)
+    drop_rows = {
+        r["_drop"]: r["n"]
+        for r in base.groupBy("_drop").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cum_target, acc = {}, 0
+    for i in range(n_drops):
+        acc += drop_rows.get(i, 0)
+        cum_target[i] = acc
+    total_rows = acc
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream_assembled(spark, src, entrymod._INPUT_SCHEMA,
+                             max_files_per_trigger=100000)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(processingTime=f"{cadence_s} second")
+            .start()
+        )
+        # drain the warmup drop completely before the timed feed: its
+        # batches carry the one-off costs and are excluded below by batchId
+        t_warm = time.perf_counter()
+        warm_rows = spark.read.parquet(warm_path).count()
+        for j, f in enumerate(sorted(glob.glob(f"{warm_path}/*.parquet"))):
+            shutil.copy(f, f"{src}/warm_{j}.parquet")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= warm_rows:
+                break
+            time.sleep(0.1)
+        warm_ms = (time.perf_counter() - t_warm) * 1000.0
+        warm_last_batch = max(
+            (p["batchId"] for p in q.recentProgress), default=-1
+        )
+        drop_wall: dict[int, float] = {}
+        for i in range(n_drops):
+            t_next = time.perf_counter() + cadence_s
+            for j, f in enumerate(
+                sorted(glob.glob(f"{stage}/_drop={i}/*.parquet"))
+            ):
+                shutil.copy(f, f"{src}/drop{i:03d}_{j}.parquet")
+            drop_wall[i] = time.time()
+            time.sleep(max(0.0, t_next - time.perf_counter()))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            seen = sum(p["numInputRows"] for p in q.recentProgress)
+            if seen >= warm_rows + total_rows:
+                break
+            time.sleep(0.2)
+        progress = list(q.recentProgress)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    batches, cum = [], 0
+    for p in progress:
+        if p["numInputRows"] == 0 or p["batchId"] <= warm_last_batch:
+            continue
+        ts = dt.datetime.strptime(
+            p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
+        ).replace(tzinfo=dt.timezone.utc).timestamp()
+        trig_ms = float(p["durationMs"]["triggerExecution"])
+        cum += p["numInputRows"]
+        batches.append({"end_wall": ts + trig_ms / 1000.0,
+                        "cum_rows": cum, "trigger_ms": trig_ms})
+    lat_ms = []
+    for i in range(n_drops):
+        done = next((b for b in batches if b["cum_rows"] >= cum_target[i]), None)
+        if done is not None:
+            lat_ms.append((done["end_wall"] - drop_wall[i]) * 1000.0)
+    # least-squares slope of latency over drop index: a stable stream's
+    # latency is bounded (slope ~0) even when a single trigger exceeds the
+    # cadence — it coalesces the backlog and catches up; a positive slope
+    # means unbounded queueing (arrival rate > sustained throughput)
+    slope = 0.0
+    if len(lat_ms) >= 2:
+        n = len(lat_ms)
+        mx, my = (n - 1) / 2.0, sum(lat_ms) / n
+        sxx = sum((i - mx) ** 2 for i in range(n))
+        slope = sum((i - mx) * (y - my) for i, y in enumerate(lat_ms)) / sxx
+    trig = [b["trigger_ms"] for b in batches]
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "drops": n_drops,
+        "cadence_s": cadence_s,
+        "input_rows": total_rows,
+        "warmup_ms": round(warm_ms, 1),
+        "batches": len(batches),
+        "trigger_ms_p50": round(_pctl(trig, 0.5) or 0, 1),
+        "trigger_ms_p95": round(_pctl(trig, 0.95) or 0, 1),
+        "trigger_ms_max": round(max(trig), 1) if trig else None,
+        "arrival_to_commit_ms_p50": round(_pctl(lat_ms, 0.5) or 0, 1),
+        "arrival_to_commit_ms_p95": round(_pctl(lat_ms, 0.95) or 0, 1),
+        # strict claim: every micro-batch finished inside the trigger interval
+        "cadence_sustained": bool(trig)
+        and (_pctl(trig, 0.95) or 0) < cadence_s * 1000.0,
+        # stability claim: latency bounded across the run (no queueing trend)
+        "latency_slope_ms_per_drop": round(slope, 1),
+        "backlog_stable": len(lat_ms) >= 2
+        and slope < 0.10 * cadence_s * 1000.0,
+    }
+
+
 def _timed_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -154,6 +333,8 @@ def _run_level(sf_dir: str, cores: int, tpath: str, wpath: str,
     out = {"cores": cores, "sec": best}
     if with_queries:
         out["queries"] = _timed_queries(spark, sf_dir)
+        if os.environ.get("GCLP_BENCH_SKIP_LIVE") != "1":
+            out["live_latency"] = _live_latency(spark, sf_dir)
     spark.stop()
     print("LEVEL_RESULT " + json.dumps(out))
 
@@ -270,6 +451,8 @@ def main() -> None:
         "turns": n_turns,
         f"turns_per_sec_local{n_big}": round(thr_big, 1),
     }
+    if "live_latency" in r:
+        payload["live_latency"] = r["live_latency"]
     if not skip_scaling:
         thr_s = n_turns_scale / results[SCALE_SMALL]
         thr_b = n_turns_scale / results[SCALE_BIG]
