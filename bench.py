@@ -64,6 +64,7 @@ GCLP_BENCH_REPEATS (default 2, best-of — headline level AND minimum scaling
 rounds), GCLP_BENCH_MAX_SCALING_ROUNDS (default 5), GCLP_BENCH_TARGET_EFF
 (default 0.8), GCLP_BENCH_SKIP_SCALING=1 to skip the scaling pair (faster
 iteration), GCLP_BENCH_SKIP_LIVE=1 to skip the live-trigger latency leg,
+GCLP_BENCH_SKIP_QUERIES=1 to skip the per-query timings (headline only),
 SPARK_DRIVER_MEMORY (default: RAM/3 capped at 24g).
 
 The payload also carries ``live_latency``: per-micro-batch trigger time and
@@ -392,6 +393,7 @@ def main() -> None:
     replicate_scale = int(os.environ.get("GCLP_BENCH_REPLICATE_SCALE", "150"))
     repeats = int(os.environ.get("GCLP_BENCH_REPEATS", "2"))
     skip_scaling = os.environ.get("GCLP_BENCH_SKIP_SCALING") == "1"
+    skip_queries = os.environ.get("GCLP_BENCH_SKIP_QUERIES") == "1"
     sf_tag = sf_dir.rstrip("/").split("/")[-1]
     tpath = f"/tmp/gclp_bench_transcripts_{sf_tag}_x{replicate}.parquet"
     spath = f"/tmp/gclp_bench_transcripts_{sf_tag}_x{replicate_scale}.parquet"
@@ -436,10 +438,11 @@ def main() -> None:
             )
             if rounds >= min_rounds and (eff >= target_eff or rounds >= max_rounds):
                 break
-    r = _spawn_level(sf_dir, n_big, tpath, wpath, repeats, with_queries=True,
+    r = _spawn_level(sf_dir, n_big, tpath, wpath, repeats,
+                     with_queries=not skip_queries,
                      pin_cpus=False)
     results[n_big] = r["sec"]
-    queries = r["queries"]
+    queries = r.get("queries", {})
 
     thr_big = n_turns / results[n_big]
     payload = {
