@@ -688,6 +688,18 @@ def q47_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), w, token_budget=10000.0)
 
 
+def q52_importance_resample(spark, sf_dir):
+    """DSIR-style importance resampling: top-50 Gumbel-keyed docs whose
+    hashed-bigram distribution most resembles the 'src0' target domain."""
+    from java9_gc_log_parser_spark.operators.sampling import (
+        importance_resample,
+    )
+
+    return importance_resample(
+        _docs(spark, sf_dir), target_source="src0", k=50
+    )
+
+
 def q48_encoding_audit(spark, sf_dir):
     """Encoding/mojibake QA gate: U+FFFD count, control-char ratio, ascii
     ratio, flag — map-only codegen projection, no UDF."""
@@ -1630,6 +1642,53 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:v1'), 1, 4))
         ::INTEGER < gates.bound
 """
 
+# q52: DSIR importance resampling — the oracle recomputes the hashed-bigram
+# models, per-bucket log-ratios (rounded 6dp, the cross-engine contract),
+# per-doc log-weights, and the md5-derived Gumbel keys, then takes the same
+# deterministic top-50. u = (hex6 + 0.5)/16^6 is exactly representable, so
+# both engines feed bit-identical uniforms into ln.
+_ORACLES["q52_importance_resample"] = _DTOK + """
+, bg AS (
+  SELECT doc_id, source,
+         substr(md5(unnest(list_transform(
+             generate_series(1, len(ltoks) - 1),
+             i -> ltoks[i] || ' ' || ltoks[i + 1]))), 1, 3) AS f
+  FROM dtok WHERE len(ltoks) >= 2
+),
+docf AS (
+  SELECT doc_id, source, f, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM bg GROUP BY doc_id, source, f
+),
+raw AS (SELECT f, SUM(c) AS rc FROM docf GROUP BY f),
+tgt AS (SELECT f, SUM(c) AS tc FROM docf WHERE source = 'src0' GROUP BY f),
+tots AS (SELECT (SELECT SUM(rc) FROM raw) AS tr,
+                (SELECT COALESCE(SUM(tc), 0.0) FROM tgt) AS tt),
+ratio AS (
+  SELECT raw.f,
+         ROUND(ln((COALESCE(tgt.tc, 0.0) + 1.0) / (tots.tt + 4096.0))
+             - ln((raw.rc + 1.0) / (tots.tr + 4096.0)), 6) AS lr
+  FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tots
+),
+lw AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         ROUND(SUM(c * lr), 6) AS logw
+  FROM docf JOIN ratio USING (f) GROUP BY doc_id
+),
+keyed AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(lw.n_feats, 0) AS n_feats,
+         COALESCE(lw.logw, 0.0) AS logw,
+         COALESCE(lw.logw, 0.0) - ln(-ln(
+           ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'),
+                             1, 6))::INTEGER) + 0.5) / 16777216.0
+         )) AS key
+  FROM dtok d LEFT JOIN lw USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_feats, logw,
+       ROUND(key, 6) AS gumbel_key
+FROM keyed ORDER BY key DESC, doc_id LIMIT 50
+"""
+
 # q50: the full curation chain recomputed stage by stage from raw documents —
 # quality gate (q40's conditions) -> exact dedup (q13's canonical) -> unigram
 # near-dup transitive closure (q29's recursive CTE, restricted to survivors)
@@ -1847,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_stream_late_dead_letter": q49_stream_late_dead_letter,
         "q50_curation_e2e": q50_curation_e2e,
         "q51_stream_metrics_feed": q51_stream_metrics_feed,
+        "q52_importance_resample": q52_importance_resample,
     }
 
 

@@ -233,3 +233,168 @@ def mixture_sample(
             F.col("_nt").cast("long").alias("n_tokens"),
         )
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_source: str,
+    k: int = 50,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): select the k raw-corpus
+    documents whose hashed-n-gram feature distribution most resembles a
+    target domain, by Gumbel-top-k over importance log-weights.
+
+    Reference parity note: the reference engine has no learned selection —
+    this is one of the beyond-reference training-data operators (SURVEY §2
+    extension set), composing the hashed-feature machinery of
+    :func:`text_analysis.bigram_logprob` with the deterministic md5-derived
+    randomness of :func:`hash_split`.
+
+    Mechanism (every step engine-portable and seed-free):
+
+    - features: word bigrams hashed into ``n_buckets`` buckets via the first
+      3 hex chars of md5(bigram) — a *string* bucket key, no hex->int
+      conversion anywhere on the feature path.
+    - two add-one-smoothed bag-of-buckets models: target = docs from
+      ``target_source``, raw = the whole corpus.  log-ratio per bucket
+      lr(f) = ln((t_f+1)/(T+B)) - ln((r_f+1)/(R+B)), rounded 6dp so both
+      engines carry identical per-bucket constants into the doc sum.
+    - per-doc log-weight logw(d) = sum_f c_d(f) * lr(f), rounded 6dp.
+    - Gumbel key: u(d) = (hex6(md5(id||":"||salt)) + 0.5) / 16^6 — exactly
+      representable in binary (v + 0.5 over a power of two), so Spark's
+      single conv()/divide and the oracle's per-digit sum of 2^-4i terms
+      produce bit-identical doubles; key = logw + (-ln(-ln(u))).  Top-k by
+      key is sampling-without-replacement proportional to exp(logw)
+      (Gumbel-max), yet fully deterministic and reproducible outside Spark.
+
+    Scale shape (100 TB): the per-doc feature table is one map-side
+    combinable hash agg on (doc_id, bucket); both models reduce that table
+    to <= n_buckets rows, so the log-ratio dim and the two totals join back
+    by BROADCAST — the corpus-sized side never shuffles on the feature key.
+    The final top-k is a TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows), never a global sort.  Skew: bucket keys are md5-uniform
+    by construction; the only hot key is the broadcast dim itself.
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    if not 1 <= n_buckets <= 4096:
+        raise ValueError(f"n_buckets must be in [1, 4096], got {n_buckets}")
+    clash = [c for c in docs.columns if c.startswith("_ir_")]
+    if clash:
+        raise ValueError(
+            f"input carries reserved staging column(s) {clash}; rename them"
+        )
+    b = float(n_buckets)
+    lt = tokens_col(F.lower(F.col("text")))
+    base = docs.select("doc_id", "source", lt.alias("_ir_lt"))
+    n_slots = F.greatest(F.size(F.col("_ir_lt")) - 1, F.lit(0))
+    # bucket key: 3 hex chars of md5(bigram), modulo-folded onto n_buckets
+    # by string prefix only when n_buckets == 4096 (the default); smaller
+    # bucket counts reuse the hex-string order to stay conversion-free.
+    n_hex = {16: 1, 256: 2, 4096: 3}.get(n_buckets)
+    if n_hex is None:
+        raise ValueError("n_buckets must be one of 16, 256, 4096")
+    docf = (
+        base.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_ir_lt"), 1, n_slots).alias("w1"),
+                    F.slice(F.col("_ir_lt"), 2, n_slots).alias("w2"),
+                )
+            ).alias("_ir_z"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.col("_ir_z.w1"), F.col("_ir_z.w2")
+                    )
+                ),
+                1,
+                n_hex,
+            ).alias("f"),
+        )
+        .groupBy("doc_id", "source", "f")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    raw = docf.groupBy("f").agg(F.sum("c").alias("rc"))
+    tgt = (
+        docf.filter(F.col("source") == target_source)
+        .groupBy("f")
+        .agg(F.sum("c").alias("tc"))
+    )
+    tots = raw.agg(F.sum("rc").alias("tr")).join(
+        tgt.agg(F.coalesce(F.sum("tc"), F.lit(0.0)).alias("tt"))
+    )
+    ratio = (
+        raw.join(tgt, "f", "left")
+        .join(F.broadcast(tots))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0.0)) + 1.0)
+                    / (F.col("tt") + F.lit(b))
+                )
+                - F.log((F.col("rc") + 1.0) / (F.col("tr") + F.lit(b))),
+                6,
+            ).alias("lr"),
+        )
+    )
+    lw = (
+        docf.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+        )
+    )
+    # deterministic uniform in (0,1): 6 hex chars -> v, u = (v + .5)/16^6
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":" + salt)
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(16777216.0)
+    keyed = (
+        docs.select("doc_id", "source")
+        .join(lw, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias(
+                "n_feats"
+            ),
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+            (
+                F.coalesce(F.col("logw"), F.lit(0.0))
+                - F.log(-F.log(u))
+            ).alias("_ir_key"),
+        )
+    )
+    return (
+        keyed.orderBy(F.col("_ir_key").desc(), F.col("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            "logw",
+            F.round(F.col("_ir_key"), 6).alias("gumbel_key"),
+        )
+    )
