@@ -211,6 +211,36 @@ def q22_minhash_lsh(spark, sf_dir):
     )
 
 
+def q53_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup of a 'daily batch' (md5-gated ~20% of docs)
+    against the persisted signature store of the other ~80% — pure
+    signature-space: verdict + best match per batch doc, base text never
+    re-read. Signature tables materialize to parquet so the DuckDB oracle
+    independently re-runs bucket capping, candidate generation, the
+    agreement-fraction estimator, priority and tie-break rules (same seam
+    as q22/q23: xxhash64 itself has no DuckDB twin)."""
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        incremental_dedup,
+        signature_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    gate = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":incr"))), 1, 4
+    )
+    base = docs.filter(gate < "cccc")
+    new = docs.filter(gate >= "cccc")
+    out_s = f"{_ORACLE_EXPORT_DIR}/incr_store_sig.parquet"
+    out_n = f"{_ORACLE_EXPORT_DIR}/incr_new_sig.parquet"
+    signature_table(base).write.mode("overwrite").parquet(out_s)
+    signature_table(new).write.mode("overwrite").parquet(out_n)
+    return incremental_dedup(
+        spark.read.parquet(out_n), spark.read.parquet(out_s)
+    )
+
+
 def q23_simhash_pairs(spark, sf_dir):
     from java9_gc_log_parser_spark.operators.dedupe import (
         simhash_pairs,
@@ -1642,6 +1672,76 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:v1'), 1, 4))
         ::INTEGER < gates.bound
 """
 
+# q53: incremental dedup — the oracle reads the two materialized signature
+# tables (same xxhash64 seam as q22/q23) and independently re-runs: union
+# bucket capping, new-vs-store and new-vs-earlier-new candidate generation,
+# the signature-agreement estimator (matches/32 — a power of two, so the
+# double is exact in both engines), base-priority + max-est + min-id
+# best-match selection, and the final verdict mapping.
+_ORACLES["q53_incremental_dedup"] = """
+WITH ns AS (
+  SELECT DISTINCT doc_id, band_id, band_hash
+  FROM read_parquet('/tmp/gclp_oracle/incr_new_sig.parquet/*.parquet')
+),
+ss AS (
+  SELECT DISTINCT doc_id, band_id, band_hash
+  FROM read_parquet('/tmp/gclp_oracle/incr_store_sig.parquet/*.parquet')
+),
+ok_buckets AS (
+  SELECT band_id, band_hash
+  FROM (SELECT band_id, band_hash FROM ns
+        UNION ALL SELECT band_id, band_hash FROM ss)
+  GROUP BY band_id, band_hash HAVING COUNT(*) <= 1000
+),
+bn AS (SELECT ns.* FROM ns JOIN ok_buckets USING (band_id, band_hash)),
+bs AS (SELECT ss.* FROM ss JOIN ok_buckets USING (band_id, band_hash)),
+cand AS (
+  SELECT DISTINCT bn.doc_id AS new_id, bs.doc_id AS match_id, 1 AS is_base
+  FROM bn JOIN bs USING (band_id, band_hash)
+  UNION
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id, 0 AS is_base
+  FROM bn a JOIN bn b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND b.doc_id < a.doc_id
+),
+sig_new AS (
+  SELECT DISTINCT doc_id, sig
+  FROM read_parquet('/tmp/gclp_oracle/incr_new_sig.parquet/*.parquet')
+),
+sig_all AS (
+  SELECT DISTINCT doc_id, sig FROM (
+    SELECT doc_id, sig
+    FROM read_parquet('/tmp/gclp_oracle/incr_new_sig.parquet/*.parquet')
+    UNION ALL
+    SELECT doc_id, sig
+    FROM read_parquet('/tmp/gclp_oracle/incr_store_sig.parquet/*.parquet')
+  )
+),
+m AS (
+  SELECT c.new_id, c.match_id, c.is_base,
+         CAST(len(list_filter(generate_series(1, 32),
+                              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+           / 32.0 AS est
+  FROM cand c
+  JOIN sig_new sa ON sa.doc_id = c.new_id
+  JOIN sig_all sb ON sb.doc_id = c.match_id
+),
+best AS (
+  SELECT new_id, match_id, is_base, est,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY is_base DESC, est DESC, match_id) AS rn
+  FROM m WHERE est >= 0.4
+)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN b.match_id IS NULL THEN 'unique'
+            WHEN b.is_base = 1 THEN 'dup_of_base'
+            ELSE 'dup_in_batch' END AS verdict,
+       CAST(b.match_id AS BIGINT) AS match_id,
+       ROUND(b.est, 6) AS est_jaccard
+FROM (SELECT doc_id FROM sig_new) n
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = n.doc_id
+"""
+
 # q52: DSIR importance resampling — the oracle recomputes the hashed-bigram
 # models, per-bucket log-ratios (rounded 6dp, the cross-engine contract),
 # per-doc log-weights, and the md5-derived Gumbel keys, then takes the same
@@ -1907,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_curation_e2e": q50_curation_e2e,
         "q51_stream_metrics_feed": q51_stream_metrics_feed,
         "q52_importance_resample": q52_importance_resample,
+        "q53_incremental_dedup": q53_incremental_dedup,
     }
 
 

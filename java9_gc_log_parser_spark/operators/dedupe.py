@@ -647,3 +647,178 @@ def dedup_clusters(
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+def signature_table(
+    docs: DataFrame, k: int = 32, bands: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Compact per-doc near-dup signature rows for a PERSISTED store:
+    one row per (doc, band) carrying the band's LSH bucket hash plus the
+    full MinHash signature.
+
+    This is the artifact a continuously-ingesting corpus keeps instead of
+    its text: at 100 TB you never re-shingle the base corpus to dedup a
+    daily batch — you join the batch's signatures against this store
+    (bands*~300 bytes per doc, ~0.01% of the text volume) and append the
+    batch's own rows afterwards. Schema: (doc_id, band_id, band_hash, sig).
+    """
+    r = k // bands
+    sig = with_shingles(docs, shingle_n).withColumn(
+        "_sig", minhash_signature(F.col("sh"), k)
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(F.slice("_sig", b * r + 1, r)).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+        F.col("_sig").alias("sig"),
+    ).select("doc_id", "band.band_id", "band.band_hash", "sig")
+
+
+def incremental_dedup(
+    new_sig: DataFrame,
+    store_sig: DataFrame,
+    k: int = 32,
+    threshold: float = 0.4,
+    max_bucket: int = 1000,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted signature store — pure
+    signature-space, the base corpus text is never read.
+
+    Both inputs are :func:`signature_table` outputs. Verification is the
+    MinHash Jaccard ESTIMATE — the fraction of agreeing signature positions
+    (k=32 a power of two, so est = matches/k is exact in binary and
+    engine-portable) — because at incremental scale the whole point is to
+    decide from the compact store alone; the estimator's variance vs exact
+    shingle Jaccard is the documented trade (stderr ~ sqrt(J(1-J)/k), ~0.09
+    at J=0.4/k=32; raise k to tighten).
+
+    Per new doc the verdict is:
+
+    - ``dup_of_base``  — best store match with est >= threshold (max est,
+      then min store doc_id); base matches take priority over batch ones
+      so existing corpus membership stays canonical.
+    - ``dup_in_batch`` — else, best match among EARLIER batch docs
+      (partner doc_id < own doc_id): the smaller id is the batch-local
+      canonical, mirroring exact dedup's min-id rule.
+    - ``unique``       — otherwise (match_id and est_jaccard NULL).
+
+    Scale shape: bucket hygiene first — bucket sizes counted over the
+    UNION of both sides and degenerate buckets (> max_bucket) dropped
+    before any pair is generated, so the candidate join's output stays
+    bounded exactly as in :func:`minhash_lsh_pairs`. A daily batch is
+    orders of magnitude smaller than the store, so with
+    ``broadcast_new=True`` (default) the batch's bucket rows broadcast and
+    the store-side scan never shuffles on the bucket key; the only
+    corpus-sized movement is a key-lookup join back to the store's
+    signature rows for the candidates that survive. Set it False when the
+    batch is a backfill comparable to the store. The per-doc best-match
+    window partitions by new doc_id — millions of tiny partitions, no
+    global sort (same shape as the tf-idf top-k).
+    """
+    buckets_new = new_sig.select("doc_id", "band_id", "band_hash").alias("n")
+    buckets_store = store_sig.select(
+        "doc_id", "band_id", "band_hash"
+    ).alias("s")
+    union = buckets_new.withColumn("side", F.lit("new")).unionByName(
+        buckets_store.withColumn("side", F.lit("store"))
+    )
+    sizes = (
+        union.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("band_id", "band_hash")
+    )
+    bn = buckets_new.join(sizes, ["band_id", "band_hash"])
+    bs = buckets_store.join(sizes, ["band_id", "band_hash"])
+    bn_maybe = F.broadcast(bn) if broadcast_new else bn
+    cand_base = (
+        bn_maybe.join(bs, ["band_id", "band_hash"])
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("s.doc_id").alias("match_id"),
+            F.lit(1).alias("is_base"),
+        )
+        .distinct()
+    )
+    bna, bnb = bn.alias("a"), bn.alias("b")
+    cand_batch = (
+        bna.join(
+            bnb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("match_id"),
+            F.lit(0).alias("is_base"),
+        )
+        .distinct()
+    )
+    sig_new = new_sig.select("doc_id", "sig").distinct()
+    sig_store = store_sig.select("doc_id", "sig").distinct()
+    cand = cand_base.unionByName(cand_batch)
+    matched = (
+        cand.join(
+            sig_new.select(
+                F.col("doc_id").alias("new_id"), F.col("sig").alias("_sa")
+            ),
+            "new_id",
+        )
+        .join(
+            sig_new.unionByName(sig_store)
+            .distinct()
+            .select(
+                F.col("doc_id").alias("match_id"), F.col("sig").alias("_sb")
+            ),
+            "match_id",
+        )
+        .withColumn(
+            "est",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_sa"),
+                    F.col("_sb"),
+                    lambda a, b: F.when(a == b, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(float(k)),
+        )
+        .filter(F.col("est") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("is_base").desc(), F.col("est").desc(), F.col("match_id").asc()
+    )
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("new_id", "match_id", "is_base", "est")
+    )
+    all_new = sig_new.select(F.col("doc_id").alias("new_id"))
+    return all_new.join(best, "new_id", "left").select(
+        F.col("new_id").cast("long").alias("doc_id"),
+        F.when(F.col("match_id").isNull(), "unique")
+        .when(F.col("is_base") == 1, "dup_of_base")
+        .otherwise("dup_in_batch")
+        .alias("verdict"),
+        F.col("match_id").cast("long").alias("match_id"),
+        F.round(F.col("est"), 6).alias("est_jaccard"),
+    )

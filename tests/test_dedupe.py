@@ -303,3 +303,99 @@ def test_dedup_clusters_star_equals_label_prop(spark):
     }
     assert lp == st
     assert lp[3] == (3, True) and lp[6] == (3, False) and lp[11] == (11, True)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup vs persisted signature store
+# ---------------------------------------------------------------------------
+
+def _incr_fixture(spark):
+    """Base corpus of 3 docs; batch of 5: doc 100 copies base doc 1,
+    doc 101+102 copy each other (batch-internal pair), doc 103 copies BOTH
+    base doc 2 and batch doc 101's vocabulary? no — doc 103 copies base
+    doc 2 AND doc 104 copies doc 103 (batch) — verdict priority check:
+    103 must be dup_of_base, 104 matches 103 (batch) and base 2 equally
+    and must prefer the base."""
+    mk = lambda words: " ".join(words)
+    t1 = mk([f"w{i}" for i in range(40)])
+    t2 = mk([f"v{i}" for i in range(40)])
+    t3 = mk([f"u{i}" for i in range(40)])
+    tpair = mk([f"p{i}" for i in range(40)])
+    tuniq = mk([f"z{i}" for i in range(40)])
+    base = [(1, t1), (2, t2), (3, t3)]
+    new = [(100, t1), (101, tpair), (102, tpair), (103, t2), (104, t2),
+           (105, tuniq)]
+    schema = "doc_id long, text string"
+    return (
+        spark.createDataFrame(base, schema),
+        spark.createDataFrame(new, schema),
+    )
+
+
+def test_incremental_dedup_verdicts_and_priority(spark):
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        incremental_dedup,
+        signature_table,
+    )
+
+    base, new = _incr_fixture(spark)
+    out = incremental_dedup(
+        signature_table(new), signature_table(base)
+    ).toPandas().set_index("doc_id")
+    assert out.loc[100].verdict == "dup_of_base"
+    assert out.loc[100].match_id == 1
+    assert out.loc[100].est_jaccard == 1.0
+    # batch-internal pair: larger id points at smaller, smaller is unique
+    assert out.loc[101].verdict == "unique"
+    assert out.loc[102].verdict == "dup_in_batch"
+    assert out.loc[102].match_id == 101
+    # both 103 and 104 copy base doc 2; 104 ALSO matches batch doc 103 —
+    # base priority wins even though the batch est ties
+    assert out.loc[103].verdict == "dup_of_base"
+    assert out.loc[103].match_id == 2
+    assert out.loc[104].verdict == "dup_of_base"
+    assert out.loc[104].match_id == 2
+    assert out.loc[105].verdict == "unique"
+    assert out.loc[105].isna().match_id
+
+
+def test_incremental_dedup_broadcast_paths_agree_and_plan(spark):
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        incremental_dedup,
+        signature_table,
+    )
+
+    base, new = _incr_fixture(spark)
+    ns, ss = signature_table(new), signature_table(base)
+    a = incremental_dedup(ns, ss, broadcast_new=True)
+    b = incremental_dedup(ns, ss, broadcast_new=False)
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa.equals(pb)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    # the batch side broadcasts into the store-side candidate join; no
+    # cartesian product, no Python eval anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_max_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) above max_bucket is
+    dropped before pair generation — its members come back 'unique'."""
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        incremental_dedup,
+        signature_table,
+    )
+
+    same = " ".join(f"d{i}" for i in range(40))
+    base = spark.createDataFrame(
+        [(i, same) for i in range(5)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, same)], "doc_id long, text string"
+    )
+    out = incremental_dedup(
+        signature_table(new), signature_table(base), max_bucket=3
+    ).toPandas()
+    assert list(out.verdict) == ["unique"]
