@@ -211,6 +211,24 @@ def q22_minhash_lsh(spark, sf_dir):
     )
 
 
+def q54_semantic_decontam(spark, sf_dir):
+    """Embedding-space eval-contamination screen: every 20th vector is the
+    'benchmark' set; corpus vectors cosine-matching an eval vector at >=0.30
+    within the sign-LSH bucket are flagged with their best eval match."""
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.contamination import (
+        semantic_decontaminate,
+    )
+
+    embs = _embs(spark, sf_dir)
+    return semantic_decontaminate(
+        embs.filter(F.col("vec_id") % 20 != 0),
+        embs.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.30,
+    )
+
+
 def q53_incremental_dedup(spark, sf_dir):
     """Incremental near-dup of a 'daily batch' (md5-gated ~20% of docs)
     against the persisted signature store of the other ~80% — pure
@@ -1672,6 +1690,37 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:v1'), 1, 4))
         ::INTEGER < gates.bound
 """
 
+# q54: semantic decontamination — fully DuckDB-expressible (sign buckets are
+# plain arithmetic on the embedding components; cosine uses the shared _COS
+# 6dp contract), so unlike q22/q23/q53 there is no materialized-signature
+# seam: the oracle recomputes the whole screen from the raw embeddings view.
+_ORACLES["q54_semantic_decontam"] = _EMB + """
+, eb AS (
+  SELECT vec_id, emb,
+         (CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM e
+),
+ev AS (SELECT vec_id AS eval_id, emb AS eemb, bucket
+       FROM eb WHERE vec_id % 20 = 0),
+cp AS (SELECT vec_id, emb, bucket FROM eb WHERE vec_id % 20 <> 0),
+m AS (
+  SELECT cp.vec_id, ev.eval_id, {cos} AS cos
+  FROM cp JOIN ev USING (bucket)
+),
+best AS (
+  SELECT vec_id, eval_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, eval_id) AS rn
+  FROM m WHERE cos >= 0.30
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(eval_id AS BIGINT) AS eval_id, cos
+FROM best WHERE rn = 1
+""".format(cos=_COS.format(a="cp.emb", b="ev.eemb"))
+
 # q53: incremental dedup — the oracle reads the two materialized signature
 # tables (same xxhash64 seam as q22/q23) and independently re-runs: union
 # bucket capping, new-vs-store and new-vs-earlier-new candidate generation,
@@ -2008,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_stream_metrics_feed": q51_stream_metrics_feed,
         "q52_importance_resample": q52_importance_resample,
         "q53_incremental_dedup": q53_incremental_dedup,
+        "q54_semantic_decontam": q54_semantic_decontam,
     }
 
 

@@ -128,3 +128,70 @@ def decontaminate(
         train, eval_df, n=n, min_overlap=min_overlap, id_col=id_col
     ).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.30,
+    dims: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """Embedding-space (semantic) eval-set contamination: corpus vectors
+    whose cosine to some eval vector reaches ``threshold``, with the best
+    match per corpus vector — (vec_id, eval_id, cos).
+
+    The n-gram screen (:func:`contamination_pairs`) misses paraphrased or
+    lightly-rewritten benchmark leakage; the embedding screen catches what
+    survives surface rewording (the PaLM/GPT-4-style second contamination
+    gate). ``decontaminate``-style anti-join of the flagged ids is the
+    cleaned corpus.
+
+    Scale shape: the eval side is benchmarks — a few thousand vectors
+    against a 10^12-row corpus — so it BROADCASTS, blocked by the same
+    deterministic sign-LSH bucket as
+    :func:`similarity.embedding_near_dup_pairs` (equi-join on the bucket,
+    never a broadcast nested-loop over the full eval set; recall loss from
+    bucket splits is the documented LSH trade, measured in
+    tests/test_contamination.py). The corpus scan stays map-side: bucket
+    id and norm are row-local arithmetic, the join probes a broadcast hash
+    table, and the best-match window partitions by corpus vec_id over only
+    the matched subset. No corpus-sized shuffle anywhere.
+    """
+    from .similarity import EPS, _dot, _with_norm, sign_bucket
+
+    c = _with_norm(corpus_emb).select(
+        "vec_id",
+        "_emb",
+        "_nrm",
+        sign_bucket(F.col("embedding"), dims).alias("_blk"),
+    )
+    ev = _with_norm(eval_emb).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("_emb").alias("_eemb"),
+        F.col("_nrm").alias("_enrm"),
+        sign_bucket(F.col("embedding"), dims).alias("_blk"),
+    )
+    cos = F.round(
+        _dot(F.col("_emb"), F.col("_eemb"))
+        / (F.col("_nrm") * F.col("_enrm") + F.lit(EPS)),
+        6,
+    )
+    matched = (
+        c.join(F.broadcast(ev), "_blk")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("eval_id").asc()
+    )
+    return (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("eval_id").cast("long").alias("eval_id"),
+            "cos",
+        )
+    )
