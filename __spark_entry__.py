@@ -340,6 +340,60 @@ def q26_stream_assembled(spark, sf_dir):
     return spark.read.parquet(outp).select(*_ASSEMBLED_COLS)
 
 
+def q55_stream_atleastonce_dedup(spark, sf_dir):
+    """At-least-once ingest dedup (dropDuplicatesWithinWatermark): the
+    transcripts stream is delivered with every third turn REDELIVERED — a
+    byte-identical copy written to a different file set, so roughly half the
+    redeliveries land in a different micro-batch than their original — and
+    the streaming dedup keyed on (conv_id, turn_idx) under an event-time
+    watermark must restore exactly-once semantics: the drained sink equals
+    the original transcripts table row-for-row (oracled against the same
+    generative transcripts SQL every other stream query derives from). The
+    watermark delay exceeds the data's ts span, so no dedup state expires
+    while the backlog drains — the same lateness discipline as q49.
+
+    This is the ingestion-side twin of exact dedup (q13): a Kafka-style
+    at-least-once upstream re-delivers on retry, and a 100 TB pipeline
+    drops those before they hit storage. State is one entry per key within
+    the watermark horizon, partitioned by key hash — sized by the horizon,
+    not the corpus."""
+    import shutil
+
+    root = _scratch(sf_dir, "q55")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    tdf = synth_transcripts(spark, sf_dir)
+    tdf.repartition(16).write.parquet(src)
+    tdf.filter(F.col("turn_idx") % 3 == 0).repartition(16).write.mode(
+        "append"
+    ).parquet(src)
+    lo, hi = tdf.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((hi - lo).total_seconds()) + 60
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+            .withWatermark("ts", f"{delay_s} seconds")
+            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outp).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def q49_stream_late_dead_letter(spark, sf_dir):
     """Event-time late-data dead-lettering (SURVEY §2.9 ST2, the round-2
     verdict's #1 gap): the streaming assembler runs with an event-time
@@ -1690,6 +1744,14 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:v1'), 1, 4))
         ::INTEGER < gates.bound
 """
 
+# q55: the streaming dedup of the doubled delivery must reproduce the
+# original transcripts exactly — the oracle is simply the generative
+# transcripts CTE itself (any surviving redelivery fails rows_match; any
+# over-eager drop fails it the other way).
+_ORACLES["q55_stream_atleastonce_dedup"] = O.with_ctes() + """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+"""
+
 # q54: semantic decontamination — fully DuckDB-expressible (sign buckets are
 # plain arithmetic on the embedding components; cosine uses the shared _COS
 # 6dp contract), so unlike q22/q23/q53 there is no materialized-signature
@@ -2058,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_importance_resample": q52_importance_resample,
         "q53_incremental_dedup": q53_incremental_dedup,
         "q54_semantic_decontam": q54_semantic_decontam,
+        "q55_stream_atleastonce_dedup": q55_stream_atleastonce_dedup,
     }
 
 

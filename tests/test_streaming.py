@@ -267,3 +267,45 @@ def test_state_replay_idempotent_and_pointer_atomic(spark, stream_source, tmp_pa
     with open(os.path.join(out_root, "metrics.jsonl")) as f:
         assert f.read() == metrics_before  # heartbeat not duplicated
     assert sorted(os.listdir(os.path.join(out_root, "state_gens"))) == gens_before
+
+
+def test_atleastonce_dedup_drops_redeliveries(spark, tmp_path):
+    """The q55 shape on a tiny corpus: a doubled delivery (every third turn
+    redelivered into different files) drains to exactly the original rows —
+    and the delivery genuinely contained duplicates (non-vacuous)."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    tdf = synth_transcripts(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "src")
+    tdf.repartition(8).write.parquet(src)
+    tdf.filter(F.col("turn_idx") % 3 == 0).repartition(8).write.mode(
+        "append"
+    ).parquet(src)
+    n_orig = tdf.count()
+    n_delivered = spark.read.parquet(src).count()
+    assert n_delivered > n_orig  # redeliveries really present
+    lo, hi = tdf.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((hi - lo).total_seconds()) + 60
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+        .withWatermark("ts", f"{delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == n_orig
+    # row-for-row equality with the original (exceptAll both ways is empty)
+    assert out.exceptAll(tdf).count() == 0
+    assert tdf.exceptAll(out).count() == 0
