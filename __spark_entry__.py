@@ -895,6 +895,33 @@ def q50_curation_e2e(spark, sf_dir):
     return shard_manifest(docs4.join(picked, "doc_id"), n_shards=8)
 
 
+def q56_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: deterministic token-stream layout
+    of the corpus into fixed 512-token training windows, 8 independent
+    packing streams (one shuffle, no global sort)."""
+    from java9_gc_log_parser_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), context_len=512, n_streams=8)
+
+
+def q57_epoch_order(spark, sf_dir):
+    """Deterministic per-epoch global training order: md5-keyed permutation
+    decomposed into shard rank + broadcast shard-size prefix offsets — a
+    reproducible global position for every doc with no global sort."""
+    from java9_gc_log_parser_spark.operators.sampling import epoch_order
+
+    return epoch_order(_docs(spark, sf_dir), epoch=1, n_shards=8)
+
+
+def q58_dup_ngram_gate(spark, sf_dir):
+    """Cross-document duplicated-trigram fraction gate (RefinedWeb-style
+    boilerplate screen): per-doc share of n-gram occurrences shared with
+    at least one other document."""
+    from java9_gc_log_parser_spark.operators.dedupe import dup_ngram_gate
+
+    return dup_ngram_gate(_docs(spark, sf_dir), n=3, max_dup_frac=0.3)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2059,6 +2086,88 @@ SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rank FROM (
 """
 
 
+# q56: the oracle replays the identical layout — same md5 order key, same
+# stream assignment, same running-sum window — so any divergence in stream
+# hashing, ordering, or chunk arithmetic fails the value hash.
+_ORACLES["q56_pack_sequences"] = _DTOK + """
+, p AS (
+  SELECT doc_id, len(toks) AS nt,
+         md5(CAST(doc_id AS VARCHAR) || ':pack:v1') AS h
+  FROM dtok WHERE len(toks) > 0
+),
+s AS (
+  SELECT doc_id, nt, h,
+         ('0x' || substr(h, 1, 4))::INTEGER % 8 AS stream
+  FROM p
+),
+c AS (
+  SELECT doc_id, stream, nt,
+         SUM(nt) OVER (PARTITION BY stream ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS endo
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(stream AS INT) AS stream,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(endo - nt AS BIGINT) AS start_off,
+       CAST(FLOOR((endo - nt) / 512.0) AS BIGINT) AS first_chunk,
+       CAST(FLOOR((endo - 1) / 512.0)
+            - FLOOR((endo - nt) / 512.0) + 1 AS INT) AS n_chunks
+FROM c
+"""
+
+# q57: DuckDB can afford the global ORDER BY the Spark side decomposes away —
+# ROW_NUMBER over (shard, key, id) must equal shard-local rank + broadcast
+# prefix offsets exactly, which is precisely the decomposition claim.
+_ORACLES["q57_epoch_order"] = """
+WITH k AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':order:v1:1') AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         ('0x' || substr(h, 1, 4))::INTEGER % 8 AS shard
+  FROM k
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 AS INT) AS epoch,
+       CAST(shard AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos_in_shard,
+       CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) - 1
+            AS BIGINT) AS global_pos
+FROM s
+"""
+
+# q58: multiset trigram shingles (NOT distinct — occurrence counts are the
+# metric), duplicated iff the gram appears in >= 2 distinct docs.
+_ORACLES["q58_dup_ngram_gate"] = _DTOK + """
+, sh AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(ltoks) >= 3
+      THEN list_transform(range(1, len(ltoks) - 1),
+                          i -> array_to_string(ltoks[i:i+2], ' '))
+      ELSE [array_to_string(ltoks, ' ')] END) AS gram
+  FROM dtok
+),
+dg AS (
+  SELECT doc_id, gram, COUNT(*) AS m FROM sh GROUP BY 1, 2
+),
+gd AS (SELECT gram, COUNT(*) AS nd FROM dg GROUP BY 1)
+SELECT dg.doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN nd >= 2 THEN m ELSE 0 END) AS BIGINT)
+         AS dup_shingles,
+       ROUND(SUM(CASE WHEN nd >= 2 THEN m ELSE 0 END)::DOUBLE / SUM(m), 6)
+         AS dup_frac,
+       (ROUND(SUM(CASE WHEN nd >= 2 THEN m ELSE 0 END)::DOUBLE / SUM(m), 6)
+        <= 0.3) AS keep
+FROM dg JOIN gd USING (gram)
+GROUP BY dg.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -2121,6 +2230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_incremental_dedup": q53_incremental_dedup,
         "q54_semantic_decontam": q54_semantic_decontam,
         "q55_stream_atleastonce_dedup": q55_stream_atleastonce_dedup,
+        "q56_pack_sequences": q56_pack_sequences,
+        "q57_epoch_order": q57_epoch_order,
+        "q58_dup_ngram_gate": q58_dup_ngram_gate,
     }
 
 

@@ -822,3 +822,82 @@ def incremental_dedup(
         F.col("match_id").cast("long").alias("match_id"),
         F.round(F.col("est"), 6).alias("est_jaccard"),
     )
+
+
+def dup_ngram_gate(
+    docs: DataFrame, n: int = 3, max_dup_frac: float = 0.3
+) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction gate (the RefinedWeb /
+    Gopher-style "fraction of the document that also appears elsewhere"
+    quality filter): for each doc, the share of its word-n-gram
+    OCCURRENCES whose gram appears in at least one other document. High
+    shares mark boilerplate / templated text that survives whole-doc and
+    near-dup screens because the rest of the doc differs.
+
+    Distinct from the neighbours it composes with: q18/q22 score *pairs* of
+    similar docs; q36 (repetition) is *intra*-doc only; this is a per-doc
+    *corpus-wide* statistic with no pair generation at all.
+
+    Semantics: shingles are the multiset of n-grams over lowercase
+    whitespace tokens (same tokenizer as :func:`with_shingles`, but NOT
+    array_distinct — a doc repeating a shared gram 5 times has 5 duplicated
+    occurrences); docs shorter than n tokens contribute their full token
+    string as one gram, so short docs still participate. A gram is
+    "duplicated" iff >= 2 distinct docs contain it.
+
+    Scale shape (100 TB): three hash-partitioned shuffles, no joins wider
+    than the gram table and NO pair blow-up anywhere — (1) explode ->
+    groupBy (doc, gram) with map-side combine (bounds the gram table by
+    distinct grams per doc, not occurrences), (2) a count over PARTITION BY
+    gram (window on the already-reduced table — cheaper than the
+    gram->doc-count self-join and immune to the AMBIGUOUS_REFERENCE
+    self-join trap), (3) groupBy doc for the final ratio. Grams travel as
+    raw strings here so the DuckDB oracle re-derives them exactly; at
+    10^12 docs the shuffle key would be xxhash64(gram) (8 bytes vs ~n
+    words), the q22 signature-table trick — the counts are identical
+    because md5/xxhash collisions only ever *merge* gram groups, which the
+    docstring of :func:`minhash_signature` quantifies. Skew: stopword-heavy
+    grams are hot keys in shuffle (2); the window's per-key state is a
+    single running count (no buffering), so a hot gram costs one linear
+    pass, the same argument as sessionize's hot conv_id.
+    """
+    assert_no_staging(docs, "_toks", "_dg_sh", "_dg_g")
+    toks = F.col("_toks")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    sh = (
+        docs.withColumn("_toks", tokens_col(F.lower(F.col("text"))))
+        .withColumn(
+            "_dg_sh",
+            F.when(k >= n, grams).otherwise(
+                F.array(F.array_join(toks, " "))
+            ),
+        )
+        .drop("_toks")
+        # same optimizer barrier as with_shingles: keep the tokenize+
+        # shingle chain from being re-inlined below the explode
+        .observe(
+            f"dupgate_obs_{next(_obs_ids)}", F.count(F.lit(1)).alias("rows")
+        )
+        .select("doc_id", F.explode("_dg_sh").alias("_dg_g"))
+    )
+    per_doc_gram = sh.groupBy("doc_id", "_dg_g").agg(
+        F.count(F.lit(1)).alias("_dg_m")
+    )
+    n_docs_w = F.count(F.lit(1)).over(Window.partitionBy("_dg_g"))
+    scored = per_doc_gram.withColumn("_dg_nd", n_docs_w)
+    dup = F.sum(F.when(F.col("_dg_nd") >= 2, F.col("_dg_m")).otherwise(0))
+    tot = F.sum("_dg_m")
+    frac = F.round(dup.cast("double") / tot, 6)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            tot.cast("long").alias("n_shingles"),
+            dup.cast("long").alias("dup_shingles"),
+            frac.alias("dup_frac"),
+            (frac <= max_dup_frac).alias("keep"),
+        )
+    )

@@ -398,3 +398,165 @@ def importance_resample(
             F.round(F.col("_ir_key"), 6).alias("gumbel_key"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 512,
+    n_streams: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "pack:v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as a stream of
+    tokens and cut it into fixed ``context_len`` training windows (the
+    GPT-style packing where documents may span chunk boundaries), emitting
+    each document's position in that layout.
+
+    Reference parity note: beyond-reference training-data operator (SURVEY
+    §2 extension set) — the step after :func:`shard_assign` that turns a
+    curated corpus into fixed-length training sequences.
+
+    Determinism: the layout must be a pure function of the corpus, not of
+    Spark's partitioning. Each doc hashes once (md5(id || ':' || salt));
+    the first 4 hex chars assign it to one of ``n_streams`` independent
+    packing streams and the full 32-hex digest is its order key within the
+    stream (total order: (digest, id) — ids break the astronomically
+    unlikely digest tie). Offsets are then a running token sum in that
+    order, and chunk ids are integer division by ``context_len``. Any
+    engine reproduces byte-identical layout from (id, salt) alone.
+
+    Scale shape (100 TB): ONE shuffle — hash-partition by stream — and one
+    in-partition (spillable) sort per stream; the running sum is a single
+    forward pass (``ROWS UNBOUNDED PRECEDING`` running frame, O(1) state
+    per row, never a re-scan). There is deliberately NO global order: a
+    single global token stream would serialize the sort on one task, so the
+    unit of sequentiality is the stream, exactly as a multi-worker loader
+    consumes one shard-stream per reader. ``n_streams`` must grow with the
+    corpus (corpus_tokens / n_streams ≈ tokens a single sort task should
+    own, e.g. 1e5 streams at 1e12 docs); it is the write-side analogue of
+    :func:`shard_assign`'s n_shards. Empty docs are dropped (they occupy
+    zero tokens and would otherwise make ordering ties semantic).
+
+    Output per kept doc: stream, token offsets [start_off, start_off +
+    n_tokens), the first chunk id it lands in, and how many chunks it spans
+    — everything a loader needs to materialize chunk k of stream s without
+    scanning its neighbours.
+    """
+    from pyspark.sql import Window
+
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+    if not 1 <= n_streams <= 4096:
+        raise ValueError(f"n_streams must be in [1, 4096], got {n_streams}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    base = docs.select(
+        F.col(id_col),
+        h.alias("_pk_h"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("_pk_nt"),
+    ).filter(F.col("_pk_nt") > 0)
+    stream = (
+        F.conv(F.substring("_pk_h", 1, 4), 16, 10).cast("int")
+        % n_streams
+    ).cast("int")
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(F.col("_pk_h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum("_pk_nt").over(w)
+    L = float(context_len)
+    return (
+        base.withColumn("stream", stream)
+        .withColumn("_pk_end", end)
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            "stream",
+            F.col("_pk_nt").alias("n_tokens"),
+            (F.col("_pk_end") - F.col("_pk_nt")).alias("start_off"),
+            F.floor((F.col("_pk_end") - F.col("_pk_nt")) / L)
+            .cast("long")
+            .alias("first_chunk"),
+            (
+                F.floor((F.col("_pk_end") - 1) / L)
+                - F.floor((F.col("_pk_end") - F.col("_pk_nt")) / L)
+                + 1
+            )
+            .cast("int")
+            .alias("n_chunks"),
+        )
+    )
+
+
+def epoch_order(
+    docs: DataFrame,
+    epoch: int = 0,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "order:v1",
+) -> DataFrame:
+    """Deterministic per-epoch global training order WITHOUT a global sort.
+
+    Training jobs need a reproducible shuffle of the corpus per epoch —
+    resumable mid-epoch, identical across re-runs and engines, different
+    across epochs. ``rand()`` gives none of that. Here each doc's order
+    key is md5(id || ':' || salt || ':' || epoch): changing ``epoch``
+    re-permutes everything, while a fixed epoch is stable forever.
+
+    The global order is DEFINED as (shard, key, id) where shard = first 4
+    hex chars of the key modulo ``n_shards`` — so the global position
+    decomposes into (a) a rank within the shard and (b) the total size of
+    all earlier shards. That decomposition is the whole trick:
+
+    - rank within shard: one hash-partition shuffle + in-partition sort
+      (row_number over PARTITION BY shard), the same single-shuffle shape
+      as :func:`pack_sequences`;
+    - earlier-shard offsets: a shard-count dim of ``n_shards`` rows (one
+      map-side-combinable hash agg), turned into exclusive prefix sums by a
+      window over the TINY dim and broadcast back.
+
+    No task ever sees a global ORDER BY; at 10^12 rows the plan is two hash
+    aggs over the corpus scan + one broadcast join, and a consumer reads
+    shard s's files in rank order to walk the global permutation.
+    Skew: shards are md5-uniform; ``n_shards`` scales like
+    :func:`shard_assign`'s (capped 4096, bias <= n/65536).
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= n_shards <= 4096:
+        raise ValueError(f"n_shards must be in [1, 4096], got {n_shards}")
+    key = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(f":{salt}:{int(epoch)}")
+        )
+    )
+    base = docs.select(F.col(id_col), key.alias("_eo_k")).withColumn(
+        "shard",
+        (F.conv(F.substring("_eo_k", 1, 4), 16, 10).cast("int") % n_shards)
+        .cast("int"),
+    )
+    w_rank = Window.partitionBy("shard").orderBy(
+        F.col("_eo_k"), F.col(id_col)
+    )
+    ranked = base.withColumn(
+        "pos_in_shard", F.row_number().over(w_rank).cast("long")
+    )
+    sizes = base.groupBy("shard").agg(F.count(F.lit(1)).alias("_eo_n"))
+    w_off = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sizes.select(
+        "shard",
+        (F.sum("_eo_n").over(w_off) - F.col("_eo_n")).alias("_eo_off"),
+    )
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.lit(int(epoch)).cast("int").alias("epoch"),
+        "shard",
+        "pos_in_shard",
+        (F.col("_eo_off") + F.col("pos_in_shard") - 1)
+        .cast("long")
+        .alias("global_pos"),
+    )

@@ -399,3 +399,37 @@ def test_incremental_dedup_max_bucket_cap(spark):
         signature_table(new), signature_table(base), max_bucket=3
     ).toPandas()
     assert list(out.verdict) == ["unique"]
+
+
+def test_dup_ngram_gate_counts_cross_doc_occurrences(spark):
+    from java9_gc_log_parser_spark.operators.dedupe import dup_ngram_gate
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1/2 share the trigram "a b c" (1 occurrence each);
+            # doc 1 also repeats its OWN trigram "x y z" twice -> intra-doc
+            # repetition alone must NOT count as duplicated
+            (1, "a b c q x y z r x y z"),
+            (2, "a b c d e"),
+            # doc 3: entirely unique
+            (3, "p q r s t"),
+            # doc 4: shorter than n -> whole-text gram, shared with doc 5
+            (4, "hi there"),
+            (5, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_gate(docs, n=3).collect()}
+    # doc1: 9 trigrams, only "a b c" (1 occurrence) appears in another doc
+    assert out[1]["n_shingles"] == 9
+    assert out[1]["dup_shingles"] == 1
+    assert abs(out[1]["dup_frac"] - round(1 / 9, 6)) < 1e-9
+    assert out[1]["keep"]
+    # doc2: 3 trigrams, 1 duplicated
+    assert out[2]["n_shingles"] == 3 and out[2]["dup_shingles"] == 1
+    # doc3: nothing duplicated
+    assert out[3]["dup_shingles"] == 0 and out[3]["keep"]
+    # short docs participate via their full-text gram
+    assert out[4]["n_shingles"] == 1 and out[4]["dup_shingles"] == 1
+    assert not out[4]["keep"]  # dup_frac 1.0 > 0.3
+    assert out[5]["dup_shingles"] == 1

@@ -268,3 +268,46 @@ def test_curation_e2e_final_plan_scans_only_last_stage(spark, sf_dir):
     assert "stage4" in plan
     assert "documents.parquet" not in plan
     assert "stage2" not in plan
+
+
+def test_pack_sequences_is_single_shuffle_no_join(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.sampling import pack_sequences
+
+    df = pack_sequences(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 512, 8
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hash-partition shuffle (by stream) + in-partition sort; the
+    # running sum must be a running frame, never a join or second shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_epoch_order_broadcasts_offsets_no_global_sort(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.sampling import epoch_order
+
+    df = epoch_order(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 1, 8
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus shuffles once for the rank window; the shard-size dim is the
+    # only other exchange and comes back by broadcast
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan  # global order WITHOUT global sort
+
+
+def test_dup_ngram_gate_is_three_hash_shuffles_no_join(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.dedupe import dup_ngram_gate
+
+    df = dup_ngram_gate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # (doc,gram) agg -> gram window -> doc agg; the gram doc-count must be
+    # the window, not a self-join (no pair blow-up anywhere)
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

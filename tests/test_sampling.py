@@ -236,3 +236,82 @@ def test_importance_resample_rejects_reserved_and_bad_buckets(spark):
         importance_resample(
             docs.withColumn("_ir_x", docs.doc_id), "tgt"
         )
+
+
+# ---------------------------------------------------------------- packing
+
+def _text_docs(spark):
+    # doc 7 is empty (must be dropped by packing), lengths vary 1..6 tokens
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 6 + 1))) for i in range(40)]
+    rows.append((7777, "   "))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from java9_gc_log_parser_spark.operators.sampling import pack_sequences
+
+    out = pack_sequences(_text_docs(spark), context_len=4, n_streams=4)
+    rows = out.collect()
+    assert all(r["doc_id"] != 7777 for r in rows)  # empty doc dropped
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r["stream"], []).append(r)
+    for stream, docs in by_stream.items():
+        docs.sort(key=lambda r: r["start_off"])
+        # offsets tile the stream exactly: contiguous, non-overlapping,
+        # starting at 0
+        pos = 0
+        for r in docs:
+            assert r["start_off"] == pos
+            pos += r["n_tokens"]
+            # chunk arithmetic: first/last chunk from offsets
+            first = r["start_off"] // 4
+            last = (r["start_off"] + r["n_tokens"] - 1) // 4
+            assert r["first_chunk"] == first
+            assert r["n_chunks"] == last - first + 1
+
+
+def test_pack_sequences_deterministic_and_python_reproducible(spark):
+    import hashlib
+
+    from java9_gc_log_parser_spark.operators.sampling import pack_sequences
+
+    docs = _text_docs(spark)
+    a = sorted(map(tuple, pack_sequences(docs, 4, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, 4, 4).collect()))
+    assert a == b
+    # the layout is reproducible OUTSIDE Spark from (id, salt) alone
+    py = []
+    for i in range(40):
+        nt = i % 6 + 1
+        h = hashlib.md5(f"{i}:pack:v1".encode()).hexdigest()
+        py.append((int(h[:4], 16) % 4, h, i, nt))
+    order = {}
+    for stream, h, i, nt in sorted(py):
+        start = order.get(stream, 0)
+        order[stream] = start + nt
+        expect = (i, stream, nt, start, start // 4,
+                  (start + nt - 1) // 4 - start // 4 + 1)
+        assert tuple(next(r for r in a if r[0] == i)) == expect
+
+
+# ------------------------------------------------------------ epoch order
+
+def test_epoch_order_is_a_permutation_and_epoch_sensitive(spark):
+    from java9_gc_log_parser_spark.operators.sampling import epoch_order
+
+    docs = _text_docs(spark)
+    e1 = epoch_order(docs, epoch=1, n_shards=4).collect()
+    n = len(e1)
+    assert sorted(r["global_pos"] for r in e1) == list(range(n))
+    # global_pos is consistent with (shard, pos_in_shard) lexicographic order
+    lex = sorted(e1, key=lambda r: (r["shard"], r["pos_in_shard"]))
+    assert [r["global_pos"] for r in lex] == list(range(n))
+    # a different epoch re-permutes (astronomically unlikely to be equal)
+    e2 = epoch_order(docs, epoch=2, n_shards=4).collect()
+    p1 = {r["doc_id"]: r["global_pos"] for r in e1}
+    p2 = {r["doc_id"]: r["global_pos"] for r in e2}
+    assert p1 != p2
+    # same epoch is stable
+    e1b = epoch_order(docs, epoch=1, n_shards=4).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
