@@ -922,6 +922,50 @@ def q58_dup_ngram_gate(spark, sf_dir):
     return dup_ngram_gate(_docs(spark, sf_dir), n=3, max_dup_frac=0.3)
 
 
+def q59_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join over two BUCKETED tables: token stats
+    and quality verdicts are each written once bucketed by doc_id (the
+    pipeline's repeated join key — q50 alone joins on it five times), then
+    joined with ZERO exchange: the bucketed scans themselves report
+    HashPartitioning(doc_id, 8), so the merge join starts from the files.
+    At 10^12 rows this converts every later doc_id join from a corpus-wide
+    shuffle into a file-local merge — the write-once-join-many layout.
+    repartition(n_buckets, doc_id) before the write aligns task and bucket
+    hashing (both Murmur3), giving exactly one file per bucket so the
+    sorted in-bucket layout is also usable. Plan shape (no Exchange, no
+    broadcast) is pinned in tests/test_plans.py."""
+    import shutil
+
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        quality_score,
+        token_stats,
+    )
+    from java9_gc_log_parser_spark.storage import TableRef, write_table, read_table
+
+    root = _scratch(sf_dir, "q59")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    refs = {}
+    for tag, stage in (("tok", token_stats), ("qual", quality_score)):
+        ref = TableRef(
+            f"{root}/{tag}",
+            bucket_by=("doc_id",),
+            n_buckets=8,
+            sort_by=("doc_id",),
+            name=f"q59_{tag}",
+        )
+        write_table(stage(docs).repartition(8, "doc_id"), ref)
+        refs[tag] = ref
+    t = read_table(spark, refs["tok"])
+    q = read_table(spark, refs["qual"])
+    # hint("merge") keeps the small fixture honest: at sf-test sizes AQE
+    # would broadcast one side and the zero-exchange property being
+    # demonstrated (and plan-asserted) is the merge-join one
+    return t.hint("merge").join(q, "doc_id").select(
+        "doc_id", "n_tokens", "n_unique_tokens", "quality_score"
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2140,6 +2184,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM s
 """
 
+# q59: the bucketed layout must not change the JOIN's semantics — the oracle
+# is simply the q14 x q15 join recomputed from raw documents.
+_Q14_BODY = _ORACLES["q14_token_stats"].removeprefix(_DTOK)
+_ORACLES["q59_bucketed_join"] = _DTOK + f"""
+, t AS ({_Q14_BODY}),
+q AS ({_Q15_BODY})
+SELECT t.doc_id, t.n_tokens, t.n_unique_tokens, q.quality_score
+FROM t JOIN q USING (doc_id)
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -2233,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pack_sequences": q56_pack_sequences,
         "q57_epoch_order": q57_epoch_order,
         "q58_dup_ngram_gate": q58_dup_ngram_gate,
+        "q59_bucketed_join": q59_bucketed_join,
     }
 
 

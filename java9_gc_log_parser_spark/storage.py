@@ -57,6 +57,22 @@ class TableRef:
     #: the table-scale replacement for the reference's file-tail byte offset.
     start_snapshot_id: int | None = None
     end_snapshot_id: int | None = None
+    #: hash-bucket layout for co-located joins: two tables bucketed by the
+    #: same key with the same bucket count join with ZERO exchange — the
+    #: scan itself reports HashPartitioning(bucket_by, n_buckets), so at
+    #: 10^12 rows the corpus-sized shuffle a repeated join key would
+    #: otherwise pay on EVERY join is paid once, at write time. Bucket
+    #: metadata lives in the session catalog, so a bucketed TableRef also
+    #: needs ``name`` (the catalog table name); ``location`` stays the
+    #: external path the files land in. ``sort_by`` records in-bucket order
+    #: (Spark additionally drops the merge-join sort when each bucket holds
+    #: exactly one file — write with repartition(n_buckets, *bucket_by) to
+    #: get that layout).
+    bucket_by: tuple[str, ...] = field(default=())
+    n_buckets: int = 0
+    sort_by: tuple[str, ...] = field(default=())
+    #: catalog table name (REQUIRED for bucketed tables)
+    name: str | None = None
 
 
 def _as_ref(table: TableRef | str) -> TableRef:
@@ -119,6 +135,14 @@ def read_table(spark: SparkSession, table: TableRef | str) -> DataFrame:
         return reader.option("header", True).option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
         ).csv(ref.location)
+    if ref.bucket_by:
+        # the bucket spec only exists in the catalog entry — reading the
+        # path directly would silently drop the HashPartitioning guarantee
+        if not ref.name:
+            raise ValueError(
+                f"bucketed table {ref.location!r} needs a catalog `name`"
+            )
+        return spark.table(ref.name)
     import os
 
     reader = spark.read
@@ -172,6 +196,25 @@ def write_table(
         return
     if overwrite_where is not None:
         raise ValueError("overwrite_where requires format='iceberg'")
+    if ref.bucket_by:
+        if not ref.name:
+            raise ValueError(
+                f"bucketed table {ref.location!r} needs a catalog `name`"
+            )
+        if ref.n_buckets < 1:
+            raise ValueError("bucketed table needs n_buckets >= 1")
+        writer = (
+            df.write.mode(mode)
+            .format(PARQUET)
+            .option("path", ref.location)
+            .bucketBy(ref.n_buckets, *ref.bucket_by)
+        )
+        if ref.sort_by:
+            writer = writer.sortBy(*ref.sort_by)
+        if ref.partition_by:
+            writer = writer.partitionBy(*ref.partition_by)
+        writer.saveAsTable(ref.name)
+        return
     writer = df.write.mode(mode)
     if ref.partition_by:
         writer = writer.partitionBy(*ref.partition_by)

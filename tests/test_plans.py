@@ -311,3 +311,16 @@ def test_dup_ngram_gate_is_three_hash_shuffles_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 3
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_zero_exchange(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q59_bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the whole point of the bucketed layout: both scans already report
+    # HashPartitioning(doc_id, 8), so the merge join needs NO shuffle of
+    # either side and no broadcast
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
