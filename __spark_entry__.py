@@ -966,6 +966,24 @@ def q59_bucketed_join(spark, sf_dir):
     )
 
 
+def q60_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: top-20 tokens by exact count with the
+    4x1024 mergeable-grid estimate and its (never-negative) overcount."""
+    from java9_gc_log_parser_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir), k=20)
+
+
+def q61_hll_distinct(spark, sf_dir):
+    """HLL-style distinct-token estimate vs exact, via a 256-register
+    mergeable max-grid built from md5 string arithmetic (engine-exact)."""
+    from java9_gc_log_parser_spark.operators.sketches import (
+        hll_distinct_report,
+    )
+
+    return hll_distinct_report(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2194,6 +2212,87 @@ SELECT t.doc_id, t.n_tokens, t.n_unique_tokens, q.quality_score
 FROM t JOIN q USING (doc_id)
 """
 
+# q60: the oracle rebuilds the same 4x1024 grid (same md5 bucket strings),
+# takes the same exact top-20, and re-derives each term's estimate as the
+# min over its four cells — any drift in bucketing, grid sums, or the
+# min-fold fails the hash.
+_ORACLES["q60_cms_heavy_hitters"] = _DTOK + """
+, wc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ltoks) AS term FROM dtok) GROUP BY term
+),
+buck AS (
+  SELECT term, cnt, r,
+         ('0x' || substr(md5(term || ':cms:' || r), 1, 3))::INTEGER % 1024
+           AS bucket
+  FROM wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+),
+grid AS (SELECT r, bucket, SUM(cnt) AS total FROM buck GROUP BY 1, 2),
+top AS (SELECT term, cnt FROM wc ORDER BY cnt DESC, term LIMIT 20),
+est AS (
+  SELECT t.term, t.cnt, MIN(g.total) AS e
+  FROM top t
+  JOIN buck b ON b.term = t.term
+  JOIN grid g ON g.r = b.r AND g.bucket = b.bucket
+  GROUP BY 1, 2
+)
+SELECT term, cnt, CAST(e AS BIGINT) AS est,
+       CAST(e - cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+# q61: registers/ranks re-derived with the same string-space leading-zero
+# arithmetic (no float log anywhere); the register sum is exact integer
+# (1 << (49 - rank)); the single double division, the alpha constant, and
+# the 6dp rounds are the shared cross-engine float contract.
+_ORACLES["q61_hll_distinct"] = _DTOK + f"""
+, toks AS (SELECT DISTINCT unnest(ltoks) AS term FROM dtok),
+hx AS (SELECT md5(term) AS h FROM toks),
+lz AS (
+  SELECT ('0x' || substr(h, 1, 2))::INTEGER AS register,
+         length(regexp_extract(substr(h, 3, 12), '^(0*)', 1)) AS z,
+         substr(h, 3, 12) AS tail
+  FROM hx
+),
+rk AS (
+  SELECT register,
+         CASE WHEN z = 12 THEN 49
+              ELSE z * 4 + 1 +
+                CASE substr(tail, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END
+         END AS rank
+  FROM lz
+),
+regs AS (SELECT register, MAX(rank) AS max_rank FROM rk GROUP BY register),
+ag AS (SELECT SUM(1::BIGINT << (49 - max_rank)) AS s_int,
+              COUNT(*) AS nz FROM regs),
+ex AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct
+       FROM (SELECT unnest(ltoks) AS term FROM dtok)),
+calc AS (
+  SELECT s_int::DOUBLE / 562949953421312.0 AS s,
+         256.0 - nz AS zeros, exact_distinct
+  FROM ag CROSS JOIN ex
+),
+e AS (
+  SELECT CASE WHEN ({0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                    / (s + zeros)) <= 640.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros)
+              ELSE {0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                   / (s + zeros) END AS est,
+         exact_distinct
+  FROM calc
+)
+SELECT CAST(FLOOR(ROUND(est, 6)) AS BIGINT) AS hll_estimate,
+       exact_distinct,
+       ROUND((ROUND(est, 6) - exact_distinct) / exact_distinct, 6)
+         AS rel_error
+FROM e
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -2288,6 +2387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_epoch_order": q57_epoch_order,
         "q58_dup_ngram_gate": q58_dup_ngram_gate,
         "q59_bucketed_join": q59_bucketed_join,
+        "q60_cms_heavy_hitters": q60_cms_heavy_hitters,
+        "q61_hll_distinct": q61_hll_distinct,
     }
 
 

@@ -1,0 +1,237 @@
+"""Fixed-size mergeable sketches: count-min heavy hitters + HLL-style
+distinct estimation.
+
+At 10^12 rows the exact per-key aggregate behind "which tokens are hot" /
+"how many distinct tokens" is a vocabulary-sized shuffle. The classic scale
+answer is a FIXED-SIZE mergeable summary: every partition folds its rows
+into a d×w counter grid (count-min, Cormode & Muthukrishnan 2005) or an
+m-register max grid (HyperLogLog-shaped, Flajolet et al. 2007), the grids
+merge associatively (elementwise + / elementwise max — exactly Spark's
+partial/final aggregation contract), and the driver-side artifact is a few
+KB regardless of corpus size. These operators make that pattern first-class
+and — because every hash is md5-derived — byte-reproducible in any engine,
+so the DuckDB oracle replays sketch construction and estimation exactly
+(no property-test seam like xxhash64 would need).
+
+Reference parity note: beyond-reference training-data operators (SURVEY §2
+extension set); the reference's rollups (`GcStateFlow.scala`) are exact and
+conversation-scoped — these are the corpus-scoped summaries a 100 TB
+curation run needs where exact per-key state no longer fits.
+
+Scale shape shared by both:
+- ONE map-side-combinable hash agg over the exploded tokens reduces the
+  corpus to its distinct-key table (the same reduction q43/q46 already
+  pay); sketch arithmetic then runs on that table, which is equivalent to
+  streaming construction because the cells are associative in occurrence
+  counts (CMS) and max-based (HLL) — folding a key's total in one step
+  equals folding its occurrences one by one.
+- the sketch itself is <= d*w (resp. m) rows: a second tiny hash agg, then
+  a BROADCAST back for estimation. The corpus never shuffles on a sketch
+  key.
+- skew: sketch cells are md5-uniform; a hot token concentrates count in 4
+  cells but the *shuffle* key space stays uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import tokens_col
+
+#: count-min geometry: 4 independent rows x 1024 buckets (err <= 2e/w * N
+#: with prob 1 - (1/2)^d — at d=4, w=1024 the overcount is bounded by
+#: ~0.5% of total occurrences with prob 15/16 per query)
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(term: Column, row: int) -> Column:
+    """Row-r bucket of a term: 3 md5 hex chars (0..4095) % width.
+
+    String-built, integer-folded — the exact expression the oracle redoes
+    with ('0x' || substr(md5(...), 1, 3))::INTEGER % 1024.
+    """
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(term, F.lit(f":cms:{row}"))), 1, 3),
+            16,
+            10,
+        ).cast("int")
+        % CMS_WIDTH
+    )
+
+
+def _term_counts(docs: DataFrame) -> DataFrame:
+    """Exact occurrence count per lowercase whitespace token (the q46
+    reduction): one map-side-combinable hash agg."""
+    return (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_sketch(docs: DataFrame) -> DataFrame:
+    """The d×w count-min grid as a DataFrame: (row, bucket, total).
+
+    Cells are sums of occurrence counts whose term hashes into them —
+    associative, so per-partition partial grids merge by elementwise add
+    (Spark's partial aggregation does exactly this here). Absent cells mean
+    zero. <= CMS_DEPTH * CMS_WIDTH rows regardless of corpus size.
+    """
+    tc = _term_counts(docs)
+    per_row = [
+        tc.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col("term"), r).alias("bucket"),
+            F.col("cnt"),
+        )
+        for r in range(CMS_DEPTH)
+    ]
+    grid = per_row[0]
+    for p in per_row[1:]:
+        grid = grid.unionByName(p)
+    return grid.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("total")
+    )
+
+
+def cms_heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k tokens by exact count, each with its count-min estimate and
+    overcount — the audit query that validates the sketch against ground
+    truth at test scale (at 100 TB one keeps only the sketch and a
+    candidate heap; the exact side here doubles as the oracle anchor).
+
+    est(term) = min over rows r of grid[r][bucket_r(term)]; CMS guarantees
+    est >= cnt (overcount >= 0, never under).
+
+    Plan: exact top-k via TakeOrderedAndProject (per-partition heap, never
+    a global sort); the k candidate terms then join the <=4096-row grid by
+    BROADCAST — the corpus-sized side is long gone by then.
+    """
+    tc = _term_counts(docs)
+    top = tc.orderBy(F.col("cnt").desc(), F.col("term")).limit(k)
+    grid = cms_sketch(docs)
+    for r in range(CMS_DEPTH):
+        g = grid.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("total").alias(f"_t{r}")
+        )
+        top = top.withColumn(f"_b{r}", _cms_bucket(F.col("term"), r)).join(
+            F.broadcast(g), f"_b{r}"
+        )
+    w = F.least(*[F.col(f"_t{r}") for r in range(CMS_DEPTH)])
+    return (
+        top.withColumn("est", w.cast("long"))
+        .select(
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            "est",
+            (F.col("est") - F.col("cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+    )
+
+
+#: HLL geometry: 256 registers (first 2 md5 hex chars), rank from the next
+#: 12 hex chars (48 bits — far beyond any realistic leading-zero run)
+HLL_REGISTERS = 256
+_HLL_RANK_BITS = 48
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """HyperLogLog-shaped register table from the distinct tokens:
+    (register, max_rank), <= 256 rows.
+
+    register = first 2 md5 hex chars of the token; rank = 1 + number of
+    leading zero bits in the next 48 hash bits. Registers merge by
+    elementwise max — the mergeable-summary contract again. Determinism:
+    everything is md5 string arithmetic, so the oracle rebuilds the exact
+    same 256 registers.
+    """
+    h = F.md5(F.col("term"))
+    # leading-zero count of the 48-bit value, computed entirely in STRING
+    # space so both engines agree bit-for-bit (float log2 has cross-engine
+    # boundary risk at exact powers of two): 4 bits per leading '0' hex
+    # char + the leading zeros inside the first non-zero hex digit.
+    hx = F.substring(h, 3, 12)
+    z = F.length(F.regexp_extract(hx, "^(0*)", 1))
+    first = F.substring(hx, z + 1, 1)  # '' iff all 12 chars are zero
+    digit_lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(z == 12, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        z * 4 + digit_lz + 1
+    )
+    return (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+        )
+        .distinct()
+        .select(
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("register"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_distinct_report(docs: DataFrame) -> DataFrame:
+    """One-row audit: HLL estimate vs exact distinct-token count, with the
+    relative error (rounded 6dp, the cross-engine float contract).
+
+    Standard HLL estimator with the small-range (linear counting)
+    correction: E = a_m * m^2 / sum(2^-M_j) over all m registers (absent
+    registers count as 2^0 = 1); if E <= 5/2 m and any register is empty,
+    E = m * ln(m / V) with V = number of empty registers. a_256 = 0.7213 /
+    (1 + 1.079/256). Both engines compute the identical double expression
+    and round to 6dp BEFORE the final cast to long, so the rows hash-match.
+    """
+    regs = hll_registers(docs)
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # sum(2^-rank) must be ORDER-INDEPENDENT (float sums aren't, and Spark
+    # folds partitions in nondeterministic order): scale by 2^49 so every
+    # term 2^(49-rank) is an exact integer (rank <= 49 -> term <= 2^48;
+    # 256 terms -> sum <= 2^56, inside BIGINT), sum exactly as longs, and
+    # divide back by 2^49 in double — exactly ONE deterministic rounding,
+    # identical in both engines.
+    agg = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_RANK_BITS + 1} - max_rank)")
+        ).alias("_s_int"),
+        F.count(F.lit(1)).alias("_nz"),
+    ).select(
+        (F.col("_s_int").cast("double") / F.lit(float(2 ** 49))).alias("_s"),
+        "_nz",
+    )
+    exact = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+        )
+        .agg(F.countDistinct("term").alias("exact_distinct"))
+    )
+    zeros = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw)
+    return (
+        agg.join(exact)
+        .select(
+            F.floor(F.round(est, 6)).cast("long").alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                (F.round(est, 6) - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

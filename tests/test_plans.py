@@ -324,3 +324,18 @@ def test_bucketed_join_has_zero_exchange(spark, sf_dir):
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_cms_estimation_joins_are_broadcast_only(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.sketches import cms_heavy_hitters
+
+    df = cms_heavy_hitters(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=20
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the <=4096-row grid comes back by broadcast; the corpus never
+    # shuffles on a sketch key and the top-k is a heap, not a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

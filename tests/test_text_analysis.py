@@ -253,3 +253,69 @@ def test_encoding_audit_known(spark):
                       "ascii_ratio": 1.0, "flagged": False}
     assert got[7] == {"doc_id": 7, "n_replacement": 0, "ctrl_ratio": 0.0,
                       "ascii_ratio": 0.0, "flagged": True}
+
+
+# ---------------------------------------------------------------- sketches
+
+def test_cms_never_underestimates_and_grid_is_bounded(spark):
+    from java9_gc_log_parser_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("hot " * 50) + f"cold{i} rare{i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = cms_heavy_hitters(docs, k=10).collect()
+    assert len(out) == 10
+    assert out[0]["term"] == "hot" and out[0]["cnt"] == 200 * 50
+    # CMS one-sided error: estimate >= exact count, always
+    assert all(r["overcount"] >= 0 for r in out)
+    assert all(r["est"] == r["cnt"] + r["overcount"] for r in out)
+    grid = cms_sketch(docs)
+    assert grid.count() <= CMS_DEPTH * CMS_WIDTH
+    # grid mass per row == total token occurrences (sums are lossless)
+    per_row = {r["row"]: r["s"] for r in
+               grid.groupBy("row").agg(F.sum("total").alias("s")).collect()}
+    assert set(per_row) == set(range(CMS_DEPTH))
+    assert len(set(per_row.values())) == 1  # every row sees every occurrence
+
+
+def test_cms_sketch_is_mergeable(spark):
+    from java9_gc_log_parser_spark.operators.sketches import cms_sketch
+
+    a = spark.createDataFrame(
+        [(1, "x y z x"), (2, "x q")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "y y w"), (4, "x")], "doc_id long, text string"
+    )
+    both = a.unionByName(b)
+    merged = (
+        cms_sketch(a).unionByName(cms_sketch(b))
+        .groupBy("row", "bucket")
+        .agg(F.sum("total").cast("long").alias("total"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, cms_sketch(both).collect())
+    )
+
+
+def test_hll_estimate_tracks_known_cardinalities(spark):
+    from java9_gc_log_parser_spark.operators.sketches import (
+        hll_distinct_report,
+        hll_registers,
+    )
+
+    for n in (40, 500):
+        docs = spark.createDataFrame(
+            [(i, f"tok{i}") for i in range(n)], "doc_id long, text string"
+        )
+        row = hll_distinct_report(docs).collect()[0]
+        assert row["exact_distinct"] == n
+        # 256 registers -> ~6.5% stderr; 3 sigma bound with margin
+        assert abs(row["rel_error"]) < 0.25, (n, row)
+        assert hll_registers(docs).count() <= 256
