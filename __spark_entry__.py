@@ -984,6 +984,73 @@ def q61_hll_distinct(spark, sf_dir):
     return hll_distinct_report(_docs(spark, sf_dir))
 
 
+def _events(spark, sf_dir):
+    from java9_gc_log_parser_spark.storage import read_table
+
+    return read_table(spark, f"{sf_dir}/events.parquet")
+
+
+def q62_asof_join(spark, sf_dir):
+    """As-of join (union-and-carry, NO join node): every event annotated
+    with the user's latest error at-or-before its timestamp. The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of the
+    same semantics."""
+    from java9_gc_log_parser_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        err,
+        key="user_id",
+        ts="ts",
+        right_cols=("event_id", "value", "ts"),
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("asof_event_id").cast("long").alias("asof_error_id"),
+        F.col("asof_value").alias("asof_error_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("micros_since_error"),
+    )
+
+
+def q63_range_join(spark, sf_dir):
+    """Bounded range join (bucketized equi-joins, no inequality-join node):
+    every event within 4 hours after each purchase by the same user."""
+    from java9_gc_log_parser_spark.operators.asof import range_join
+
+    ev = _events(spark, sf_dir)
+    out = range_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev,
+        key="user_id",
+        ts="ts",
+        window_us=14_400_000_000,
+        left_cols=("event_id",),
+        right_cols=("event_id", "event_type"),
+    )
+    return out.filter(F.col("l_event_id") != F.col("r_event_id")).select(
+        F.col("l_event_id").cast("long").alias("l_event_id"),
+        F.col("r_event_id").cast("long").alias("r_event_id"),
+        "r_event_type",
+        "delta_us",
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2293,6 +2360,40 @@ SELECT CAST(FLOOR(ROUND(est, 6)) AS BIGINT) AS hll_estimate,
 FROM e
 """
 
+# q62: the Spark side never builds a join node (union-and-carry window);
+# DuckDB's native ASOF LEFT JOIN is a genuinely independent implementation
+# of the same semantics — ties resolved by the same (key, ts) dedupe.
+_ORACLES["q62_asof_join"] = """
+WITH err AS (
+  SELECT user_id, ts, MAX(event_id) AS aid,
+         arg_max(value, event_id) AS aval
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       e.event_type,
+       CAST(err.aid AS BIGINT) AS asof_error_id,
+       err.aval AS asof_error_value,
+       CAST(epoch_us(e.ts) - epoch_us(err.ts) AS BIGINT)
+         AS micros_since_error
+FROM events e ASOF LEFT JOIN err
+  ON e.user_id = err.user_id AND e.ts >= err.ts
+"""
+
+# q63: DuckDB runs the inequality join directly; the Spark side's
+# bucketized equi-join pair must produce exactly the same pairs.
+_ORACLES["q63_range_join"] = """
+SELECT CAST(a.event_id AS BIGINT) AS l_event_id,
+       CAST(b.event_id AS BIGINT) AS r_event_id,
+       b.event_type AS r_event_type,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts)
+ AND epoch_us(b.ts) < epoch_us(a.ts) + 14400000000
+WHERE a.event_type = 'purchase' AND a.event_id <> b.event_id
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -2389,6 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bucketed_join": q59_bucketed_join,
         "q60_cms_heavy_hitters": q60_cms_heavy_hitters,
         "q61_hll_distinct": q61_hll_distinct,
+        "q62_asof_join": q62_asof_join,
+        "q63_range_join": q63_range_join,
     }
 
 
