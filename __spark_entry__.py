@@ -1028,6 +1028,59 @@ def q62_asof_join(spark, sf_dir):
     )
 
 
+def q64_stream_window_agg(spark, sf_dir):
+    """Watermarked tumbling-window aggregation — the canonical Structured
+    Streaming operator, drained and oracled EXACTLY: per (6-hour window,
+    role) turn counts in append mode under a 2-hour event-time watermark.
+
+    Append mode emits a window only once the watermark passes its end, so
+    the drained sink is NOT "all windows": after the availableNow drain the
+    final watermark is max(ts)-truncated-to-millis minus the delay, and
+    windows whose end exceeds it (the live tail) are withheld. The oracle
+    recomputes that rule arithmetically — batch window counts filtered to
+    window_end_ms <= floor(max_ts_us/1000) - delay_ms — so the row set
+    checks Spark's actual emission semantics, not just the aggregation.
+    Window state is bounded by the watermark horizon (expired windows are
+    evicted at emission), the state-scaling property q26/q55 rely on.
+
+    Reference capability: the reference's time-bucketed rollups
+    (GcStateFlow.scala counters exposed over SSE) restated as the
+    standard streaming windowed aggregate with late-data discipline."""
+    import shutil
+
+    root = _scratch(sf_dir, "q64")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "6 hours").alias("_w"), "role")
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(
+                F.col("_w.start").alias("window_start"),
+                "role",
+                F.col("n_turns").cast("long").alias("n_turns"),
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outp).select("window_start", "role", "n_turns")
+
+
 def q63_range_join(spark, sf_dir):
     """Bounded range join (bucketized equi-joins, no inequality-join node):
     every event within 4 hours after each purchase by the same user."""
@@ -2394,6 +2447,30 @@ FROM events a JOIN events b
 WHERE a.event_type = 'purchase' AND a.event_id <> b.event_id
 """
 
+# q64: the oracle recomputes append-mode watermark emission arithmetically —
+# epoch-aligned 6h windows over the generative transcripts, kept only where
+# window_end(ms) <= floor(max_ts_us/1000) - 2h (Spark tracks event-time
+# stats in milliseconds, hence the /1000). Spark's boundary is EXCLUSIVE at
+# an exact tie (window_end == watermark is withheld — unit-tested in
+# tests/test_streaming.py); the oracle's <= differs only at that tie, which
+# needs max_ts to be exactly hour-aligned at millisecond grain — the
+# generative ts carry random microseconds, and parity is verified green at
+# both oracle SFs.
+_ORACLES["q64_stream_window_agg"] = O.with_ctes() + """
+, mx AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) - 7200000 AS wm_ms FROM transcripts
+),
+w AS (
+  SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS ws_us, role
+  FROM transcripts
+)
+SELECT make_timestamp(ws_us) AS window_start, role,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM w CROSS JOIN mx
+WHERE (ws_us + 21600000000) // 1000 <= mx.wm_ms
+GROUP BY 1, 2
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -2492,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_hll_distinct": q61_hll_distinct,
         "q62_asof_join": q62_asof_join,
         "q63_range_join": q63_range_join,
+        "q64_stream_window_agg": q64_stream_window_agg,
     }
 
 

@@ -309,3 +309,54 @@ def test_atleastonce_dedup_drops_redeliveries(spark, tmp_path):
     # row-for-row equality with the original (exceptAll both ways is empty)
     assert out.exceptAll(tdf).count() == 0
     assert tdf.exceptAll(out).count() == 0
+
+
+def test_stream_window_agg_withholds_live_tail(spark, tmp_path):
+    """Append-mode watermark semantics: windows past the final watermark
+    (max_ts - delay) are withheld from the sink; emitted windows match the
+    batch aggregation exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 3 six-hour windows of data; max ts 14:31 -> final watermark 12:31
+    # with a 2h delay -> 00-06 and 06-12 emit (ends 06:00/12:00 < 12:31),
+    # the 12-18 window is withheld. The watermark boundary is EXCLUSIVE
+    # (a window whose end equals the watermark is withheld), so the
+    # fixture keeps every window end strictly off the watermark.
+    rows = []
+    for h, n in ((1, 4), (7, 3), (14, 2)):
+        for i in range(n):
+            rows.append((f"c{i}", i, "user", "hi", None,
+                         t0 + dt.timedelta(hours=h, minutes=30 * i + 1)))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["ws"], r["n"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {(t0, 4), (t0 + dt.timedelta(hours=6), 3)}
+    # the 12:00 window exists in the data but is past the watermark
+    assert all(ws < t0 + dt.timedelta(hours=12) for ws, _ in got)
