@@ -1028,6 +1028,99 @@ def q62_asof_join(spark, sf_dir):
     )
 
 
+def q66_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with an event-time range condition — the
+    last canonical Structured Streaming operator: user turns joined to the
+    same conversation's assistant turns within 10 minutes, BOTH sides
+    unbounded streams. Spark keeps each side in watermark-bounded state and
+    emits a pair when the partner arrives; the watermark delay exceeds the
+    data's span (the q55 lateness discipline) so no join state expires
+    while the availableNow backlog drains, and the emitted set must equal
+    the batch inequality join EXACTLY — any pair lost to premature state
+    eviction or double-emitted on replay fails rows_match. At production
+    lateness settings the state is sized by the 10-minute range + delay
+    horizon per conversation, not the stream's history.
+
+    Reference capability: the reference correlates pause_start/pause_end
+    lines of one GC event; this is the general two-stream correlation with
+    a time bound."""
+    import shutil
+
+    root = _scratch(sf_dir, "q66")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    tdf = synth_transcripts(spark, sf_dir)
+    tdf.repartition(32).write.parquet(src)
+    lo, hi = tdf.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((hi - lo).total_seconds()) + 60
+
+    def _side(role, names):
+        return (
+            spark.readStream.schema(_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+            .filter(F.col("role") == role)
+            .withWatermark("ts", f"{delay_s} seconds")
+            .select(
+                F.col("conv_id").alias(names[0]),
+                F.col("turn_idx").alias(names[1]),
+                F.col("ts").alias(names[2]),
+            )
+        )
+
+    left = _side("user", ("l_conv", "l_turn", "l_ts"))
+    right = _side("assistant", ("r_conv", "r_turn", "r_ts"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            left.join(
+                right,
+                F.expr(
+                    "l_conv = r_conv AND r_ts >= l_ts "
+                    "AND r_ts < l_ts + INTERVAL 10 MINUTES"
+                ),
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outp).select(
+        F.col("l_conv").alias("conv_id"),
+        F.col("l_turn").cast("long").alias("user_turn_idx"),
+        F.col("r_turn").cast("long").alias("asst_turn_idx"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts")))
+        .cast("long")
+        .alias("delta_us"),
+    )
+
+
+def q65_quantile_sketch(spark, sf_dir):
+    """Mergeable power-of-two histogram p99 over assembled pause durations
+    (the sketch twin of q11's exact p99), over the floored-integer
+    millisecond view on BOTH engines: <=64 bin counts, one-sided
+    factor-2-bounded estimate, audited against the exact quantile."""
+    from java9_gc_log_parser_spark.operators.sketches import (
+        histogram_quantile,
+    )
+
+    from pyspark.sql import functions as F
+
+    return histogram_quantile(
+        _assembled(spark, sf_dir).select(
+            F.floor("duration_ms").cast("long").alias("duration_ms_int")
+        ),
+        "duration_ms_int",
+        q=0.99,
+    )
+
+
 def q64_stream_window_agg(spark, sf_dir):
     """Watermarked tumbling-window aggregation — the canonical Structured
     Streaming operator, drained and oracled EXACTLY: per (6-hour window,
@@ -2471,6 +2564,54 @@ WHERE (ws_us + 21600000000) // 1000 <= mx.wm_ms
 GROUP BY 1, 2
 """
 
+# q65: the oracle rebuilds the same power-of-two bins (string-space bit
+# length via bin()/ltrim — Spark's conv(v,10,2) never emits leading zeros),
+# the same running-count threshold against q*N, and the shared
+# percentile/quantile_cont exact pair.
+_ORACLES["q65_quantile_sketch"] = O.with_ctes() + """
+, d AS (SELECT CAST(FLOOR(duration_ms) AS BIGINT) AS v FROM easm WHERE verdict = 'ok'),
+g AS (
+  SELECT CASE WHEN v <= 0 THEN 0
+              ELSE length(ltrim(bin(v), '0')) END AS b,
+         COUNT(*) AS cnt
+  FROM d GROUP BY 1
+),
+c AS (
+  SELECT b, cnt,
+         SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT SUM(cnt) FROM g) AS n
+  FROM g
+),
+hit AS (
+  SELECT n, (1::BIGINT << b) - 1 AS est
+  FROM c WHERE cum >= 0.99 * n ORDER BY b LIMIT 1
+),
+ex AS (
+  SELECT ROUND(CAST(quantile_cont(v, 0.99) AS DOUBLE), 6) AS exact_q FROM d
+)
+SELECT CAST(hit.n AS BIGINT) AS n_rows,
+       CAST(hit.est AS BIGINT) AS est_q,
+       ex.exact_q,
+       CASE WHEN ex.exact_q <> 0.0
+            THEN ROUND((hit.est - ex.exact_q) / ex.exact_q, 6)
+            ELSE 0.0 END AS rel_error
+FROM hit CROSS JOIN ex
+"""
+
+# q66: the drained stream-stream join must equal the batch inequality join
+# over the generative transcripts, row for row.
+_ORACLES["q66_stream_stream_join"] = O.with_ctes() + """
+SELECT l.conv_id,
+       CAST(l.turn_idx AS BIGINT) AS user_turn_idx,
+       CAST(r.turn_idx AS BIGINT) AS asst_turn_idx,
+       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delta_us
+FROM transcripts l JOIN transcripts r
+  ON l.conv_id = r.conv_id
+ AND r.ts >= l.ts
+ AND epoch_us(r.ts) < epoch_us(l.ts) + 600000000
+WHERE l.role = 'user' AND r.role = 'assistant'
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -2570,6 +2711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_asof_join": q62_asof_join,
         "q63_range_join": q63_range_join,
         "q64_stream_window_agg": q64_stream_window_agg,
+        "q65_quantile_sketch": q65_quantile_sketch,
+        "q66_stream_stream_join": q66_stream_stream_join,
     }
 
 

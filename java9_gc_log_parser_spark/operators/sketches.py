@@ -34,7 +34,7 @@ Scale shape shared by both:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import tokens_col
@@ -234,4 +234,60 @@ def hll_distinct_report(docs: DataFrame) -> DataFrame:
                 6,
             ).alias("rel_error"),
         )
+    )
+
+
+def histogram_quantile(
+    df: DataFrame, col: str, q: float = 0.99
+) -> DataFrame:
+    """Mergeable power-of-two histogram quantile: estimate the q-quantile of
+    a non-negative integer column from <= 64 bin counts, and report it next
+    to the exact quantile with the relative error — the audit query that
+    bounds the sketch against ground truth at test scale (at 100 TB only
+    the sketch side runs; exact needs a full distribution pass).
+
+    bin(v) = bit_length(v) (0 for v <= 0) — computed as the LENGTH of the
+    base-2 string (Spark ``conv(v,10,2)`` / DuckDB ``bin(v)``), never a
+    float log2 (cross-engine boundary flips at exact powers of two). Bin
+    counts merge by add (partial aggregation native); the estimate is the
+    upper edge 2^bin - 1 of the first bin whose running count reaches
+    q * N, so est >= exact always and est/exact < 2 by construction
+    (one-sided, factor-2-bounded — the trade for 64 mergeable cells).
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    v = F.col(col)
+    bin_id = F.when(v <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(v.cast("string"), 10, 2))
+    )
+    grid = df.select(bin_id.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = grid.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(grid.agg(F.sum("cnt").alias("n")))
+    )
+    hit = (
+        ranked.filter(F.col("cum") >= F.lit(q) * F.col("n"))
+        .orderBy("bin")
+        .limit(1)
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr("shiftleft(1L, bin) - 1L").alias("est_q"),
+        )
+    )
+    exact = df.agg(
+        F.round(F.percentile(v, q), 6).alias("exact_q")
+    )
+    # exact == 0 (degenerate all-zero column) would divide by zero under
+    # ANSI mode; define rel_error as 0 there (est is 0 too by construction)
+    rel = F.when(
+        F.col("exact_q") != 0.0,
+        F.round((F.col("est_q") - F.col("exact_q")) / F.col("exact_q"), 6),
+    ).otherwise(F.lit(0.0))
+    return hit.join(exact).select(
+        "n_rows", "est_q", "exact_q", rel.alias("rel_error")
     )

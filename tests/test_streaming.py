@@ -360,3 +360,61 @@ def test_stream_window_agg_withholds_live_tail(spark, tmp_path):
     assert got == {(t0, 4), (t0 + dt.timedelta(hours=6), 3)}
     # the 12:00 window exists in the data but is past the watermark
     assert all(ws < t0 + dt.timedelta(hours=12) for ws, _ in got)
+
+
+def test_stream_stream_join_pairs_across_micro_batches(spark, tmp_path):
+    """The property that distinguishes a stream-stream join from a
+    per-batch join: the user turn arrives in trigger 1, its assistant
+    reply in trigger 2 (one file per trigger), and the pair must still be
+    emitted from join state."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    users = spark.createDataFrame(
+        [("c1", 0, "user", "q", None, t0),
+         ("c2", 0, "user", "q", None, t0)], schema)
+    assts = spark.createDataFrame(
+        [("c1", 1, "assistant", "a", None, t0 + dt.timedelta(minutes=2)),
+         # out of range: 20 min > the 10-min bound -> must NOT pair
+         ("c2", 1, "assistant", "a", None, t0 + dt.timedelta(minutes=20))],
+        schema)
+    src = str(tmp_path / "src")
+    users.coalesce(1).write.parquet(src)
+    assts.coalesce(1).write.mode("append").parquet(src)
+
+    def side(role, names):
+        return (
+            spark.readStream.schema(users.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("role") == role)
+            .withWatermark("ts", "1 hour")
+            .select(F.col("conv_id").alias(names[0]),
+                    F.col("turn_idx").alias(names[1]),
+                    F.col("ts").alias(names[2]))
+        )
+
+    q = (
+        side("user", ("lc", "lt", "lts"))
+        .join(
+            side("assistant", ("rc", "rt", "rts")),
+            F.expr("lc = rc AND rts >= lts "
+                   "AND rts < lts + INTERVAL 10 MINUTES"),
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {(r["lc"], r["rt"])
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {("c1", 1)}  # cross-batch pair found, out-of-range absent

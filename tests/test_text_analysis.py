@@ -319,3 +319,24 @@ def test_hll_estimate_tracks_known_cardinalities(spark):
         # 256 registers -> ~6.5% stderr; 3 sigma bound with margin
         assert abs(row["rel_error"]) < 0.25, (n, row)
         assert hll_registers(docs).count() <= 256
+
+
+def test_histogram_quantile_bounds_and_known_values(spark):
+    from java9_gc_log_parser_spark.operators.sketches import (
+        histogram_quantile,
+    )
+
+    # 1000 values 0..999: p99 index = 0.99*999 = 989.01 -> ~989; the bin
+    # holding it is bit_length(989) = 10 -> est = 1023
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    row = histogram_quantile(df, "v", 0.99).collect()[0]
+    assert row["n_rows"] == 1000
+    assert row["est_q"] == 1023
+    assert abs(row["exact_q"] - 989.01) < 1e-6
+    # one-sided and factor-2-bounded
+    assert row["est_q"] >= row["exact_q"]
+    assert row["est_q"] < 2 * (row["exact_q"] + 1)
+    # degenerate: all zeros land in bin 0, est 0
+    z = spark.range(10).select(F.lit(0).cast("long").alias("v"))
+    rz = histogram_quantile(z, "v", 0.99).collect()[0]
+    assert rz["est_q"] == 0 and rz["exact_q"] == 0.0
