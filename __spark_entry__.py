@@ -1028,6 +1028,80 @@ def q62_asof_join(spark, sf_dir):
     )
 
 
+def q67_stream_cms_maintenance(spark, sf_dir):
+    """Streaming maintenance of a mergeable sketch: the count-min grid kept
+    incrementally over a documents STREAM (per micro-batch: grid(batch) ⊕
+    running grid, cells merge by add) must equal the batch grid over the
+    whole corpus CELL-FOR-CELL after the drain — associativity is exactly
+    what makes a sketch maintainable online, and this query oracles it.
+    Same batch-id-keyed generation + atomic pointer discipline as the
+    conv-state stream (idempotent under foreachBatch replay). At 100 TB/day
+    the running grid is a few KB however much history it summarizes — the
+    streaming analogue of q60's audit."""
+    import shutil
+
+    from java9_gc_log_parser_spark.operators.sketches import cms_sketch
+
+    root = _scratch(sf_dir, "q67")
+    shutil.rmtree(root, ignore_errors=True)
+    src, out_root, ck = f"{root}/src", f"{root}/gens", f"{root}/ckpt"
+    _docs(spark, sf_dir).repartition(8).write.parquet(src)
+    os.makedirs(out_root, exist_ok=True)
+    ptr = os.path.join(out_root, "_CURRENT")
+
+    def _cur():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def _emit(batch_df, batch_id):
+        last = _cur()
+        if last is not None and batch_id <= last:
+            batch_df.count()  # drain the replayed batch, side effects skipped
+            return
+        batch_df.persist()  # grid build is the only action, but keep the
+        g = cms_sketch(batch_df)  # idiom uniform with state_stream._emit
+        if last is not None:
+            prev = spark.read.parquet(f"{out_root}/batch={last}")
+            g = (
+                g.unionByName(prev)
+                .groupBy("row", "bucket")
+                .agg(F.sum("total").cast("long").alias("total"))
+            )
+        g.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_root}/batch={batch_id}"
+        )
+        batch_df.unpersist()
+        tmp = ptr + f".tmp{batch_id}"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, ptr)
+
+    docs_schema = _docs(spark, sf_dir).schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(docs_schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(_emit)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = _cur()
+    return spark.read.parquet(f"{out_root}/batch={final}").select(
+        F.col("row").cast("int").alias("row"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 def q66_stream_stream_join(spark, sf_dir):
     """Stream-stream inner join with an event-time range condition — the
     last canonical Structured Streaming operator: user turns joined to the
@@ -2612,6 +2686,24 @@ FROM transcripts l JOIN transcripts r
 WHERE l.role = 'user' AND r.role = 'assistant'
 """
 
+# q67: the incrementally-maintained grid must equal the batch grid cell for
+# cell — the oracle is just q60's grid construction over the whole corpus.
+_ORACLES["q67_stream_cms_maintenance"] = _DTOK + """
+, wc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ltoks) AS term FROM dtok) GROUP BY term
+),
+buck AS (
+  SELECT cnt, r,
+         ('0x' || substr(md5(term || ':cms:' || r), 1, 3))::INTEGER % 1024
+           AS bucket
+  FROM wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+)
+SELECT CAST(r AS INT) AS row, CAST(bucket AS INT) AS bucket,
+       CAST(SUM(cnt) AS BIGINT) AS total
+FROM buck GROUP BY r, bucket
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -2713,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_stream_window_agg": q64_stream_window_agg,
         "q65_quantile_sketch": q65_quantile_sketch,
         "q66_stream_stream_join": q66_stream_stream_join,
+        "q67_stream_cms_maintenance": q67_stream_cms_maintenance,
     }
 
 

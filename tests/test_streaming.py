@@ -418,3 +418,34 @@ def test_stream_stream_join_pairs_across_micro_batches(spark, tmp_path):
     got = {(r["lc"], r["rt"])
            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {("c1", 1)}  # cross-batch pair found, out-of-range absent
+
+
+def test_stream_cms_maintenance_is_truly_incremental(spark, sf_dir):
+    """The drained incremental grid equals the batch grid cell-for-cell AND
+    the run really went through multiple merge generations (not one big
+    batch)."""
+    import glob
+    import os
+
+    import __spark_entry__ as entrymod
+    from java9_gc_log_parser_spark.operators.sketches import cms_sketch
+
+    got = sorted(
+        map(tuple, entrymod.q67_stream_cms_maintenance(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cms_sketch(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            .selectExpr(
+                "cast(row as int) row",
+                "cast(bucket as int) bucket",
+                "cast(total as long) total",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    root = entrymod._scratch(sf_dir, "q67")
+    gens = glob.glob(os.path.join(root, "gens", "batch=*"))
+    assert len(gens) >= 2, gens  # merge path exercised across micro-batches
