@@ -1271,6 +1271,111 @@ def q63_range_join(spark, sf_dir):
     )
 
 
+def q68_stream_session_window(spark, sf_dir):
+    """Watermarked SESSION-window streaming aggregation — the dynamic-gap
+    sibling of q64's tumbling windows and the streaming twin of q37's batch
+    sessionize: per (conv_id, 1-hour-gap session) turn counts in append
+    mode under a 2-hour event-time watermark, via the native
+    ``F.session_window`` stateful operator (sessions MERGE across
+    micro-batches as gap-bridging events arrive — state Spark maintains
+    that a tumbling window never needs).
+
+    Append mode emits a session only once the watermark passes its end
+    (last event + gap), so the drained sink withholds the live tail; the
+    oracle recomputes gap-splitting (idle > 1h, microsecond grain) AND the
+    emission rule arithmetically — sessions kept only where
+    end_us < (floor(max_ts_us/1000) - 2h_ms) * 1000 — checking Spark's
+    actual session-merge + emission semantics, not just the rollup. Session
+    state is bounded by the watermark horizon exactly as q64's windows.
+
+    Reference capability: the reference scopes state to one JVM log = one
+    session (GcStateFlow.scala); a multi-tenant transcript store needs the
+    gap-based generalization, here in its streaming form."""
+    import shutil
+
+    root = _scratch(sf_dir, "q68")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", "1 hour").alias("_w"), "conv_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(
+                "conv_id",
+                F.col("_w.start").alias("session_start"),
+                F.col("_w.end").alias("session_end"),
+                F.col("n_turns").cast("long").alias("n_turns"),
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outp).select(
+        "conv_id", "session_start", "session_end", "n_turns"
+    )
+
+
+def q69_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / CDC-style incremental processing: the change set
+    (added / deleted / updated by content fingerprint) between the
+    documents table and a deterministically mutated next snapshot — the
+    operator that lets every downstream stage reprocess O(changes) instead
+    of O(corpus) on a refresh. One fingerprint-only full-outer join; the
+    oracle re-derives the identical mutated snapshot from md5(doc_id) in
+    DuckDB and diffs it independently."""
+    from java9_gc_log_parser_spark.operators.cdc import (
+        snapshot_diff,
+        synth_mutated_snapshot,
+    )
+
+    old = _docs(spark, sf_dir)
+    return snapshot_diff(old, synth_mutated_snapshot(old)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "change_type",
+        "old_fp",
+        "new_fp",
+    )
+
+
+def q70_canonical_select(spark, sf_dir):
+    """Quality-aware canonical selection per duplicate cluster: q29's
+    connected components re-resolved so the KEPT document is the cluster
+    member with the highest q15 quality score (tie → smallest doc_id),
+    not merely the smallest id — what a curation pipeline actually ships.
+    Composes three oracled operators (near-dup pairs → transitive closure
+    → score-ranked window); the oracle replays the recursive-CTE closure
+    and the same 6-dp-rounded ranking end-to-end."""
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        canonical_select,
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(docs, ngram_jaccard_pairs(docs, n=1, threshold=0.5))
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    return canonical_select(clusters, scored)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2704,6 +2809,94 @@ SELECT CAST(r AS INT) AS row, CAST(bucket AS INT) AS bucket,
 FROM buck GROUP BY r, bucket
 """
 
+# q68: the oracle recomputes gap-splitting at microsecond grain (idle
+# > 1h splits; Spark merges sessions when start <= previous end, i.e. a
+# gap of EXACTLY 1h still merges — matched by the strict > here; the ts
+# carry random microseconds so the tie never arises) and the append-mode
+# emission rule: session end (last event + gap, microseconds) strictly
+# below the ms-truncated watermark (same tie caveat as q64).
+_ORACLES["q68_stream_session_window"] = O.with_ctes() + """
+, mx AS (
+  SELECT ((epoch_us(MAX(ts)) // 1000) - 7200000) * 1000 AS wm_us
+  FROM transcripts
+),
+t AS (
+  SELECT conv_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+),
+s AS (
+  SELECT conv_id, us,
+         SUM(new_s) OVER (PARTITION BY conv_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+),
+agg AS (
+  SELECT conv_id, MIN(us) AS start_us, MAX(us) + 3600000000 AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM s GROUP BY conv_id, sid
+)
+SELECT conv_id, make_timestamp(start_us) AS session_start,
+       make_timestamp(end_us) AS session_end, n_turns
+FROM agg CROSS JOIN mx
+WHERE end_us < mx.wm_us
+"""
+
+# q69: the oracle re-derives the identical mutated snapshot from
+# md5(doc_id || ':snap2') and diffs it with its own full-outer join —
+# the fingerprint (md5 of the text) is engine-portable by construction.
+_ORACLES["q69_snapshot_diff"] = """
+WITH h AS (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':snap2'), 1, 1) AS hx
+  FROM documents
+),
+newsnap AS (
+  SELECT doc_id,
+         CASE WHEN hx = '1' THEN text || ' rev2' ELSE text END AS text
+  FROM h WHERE hx <> '0'
+  UNION ALL
+  SELECT doc_id + 10000000000 AS doc_id, 'new: ' || text AS text
+  FROM h WHERE hx = '2'
+),
+o AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+n AS (SELECT doc_id, md5(text) AS new_fp FROM newsnap),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'deleted'
+            WHEN old_fp <> new_fp THEN 'updated'
+            ELSE 'unchanged' END AS change_type,
+       old_fp, new_fp
+FROM j
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+"""
+
+# q70: q29's recursive-CTE transitive closure (reused verbatim up to the
+# comp CTE) + the q15 quality body + the same 6-dp-rounded score ranking.
+_Q29_CLOSURE = _ORACLES["q29_dedup_clusters"].rsplit("SELECT d.doc_id,", 1)[0]
+_ORACLES["q70_canonical_select"] = _Q29_CLOSURE + f"""
+, cl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+q AS ({_Q15_BODY}),
+rk AS (
+  SELECT cl.doc_id, cl.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY q.quality_score DESC, cl.doc_id ASC)
+           AS rn
+  FROM cl JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality_score, rn = 1 AS is_canonical FROM rk
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -2806,6 +2999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_quantile_sketch": q65_quantile_sketch,
         "q66_stream_stream_join": q66_stream_stream_join,
         "q67_stream_cms_maintenance": q67_stream_cms_maintenance,
+        "q68_stream_session_window": q68_stream_session_window,
+        "q69_snapshot_diff": q69_snapshot_diff,
+        "q70_canonical_select": q70_canonical_select,
     }
 
 

@@ -1,0 +1,97 @@
+"""Snapshot diff (CDC-style incremental processing) over document corpora.
+
+A 100-TB training corpus is not re-crawled from scratch: each refresh lands
+as a new table snapshot, and every downstream stage (dedup signatures,
+quality scores, shard manifests) wants to reprocess ONLY what changed. This
+module computes the change set between two snapshots of a keyed table —
+``added`` / ``deleted`` / ``updated`` rows by content fingerprint — the same
+capability the reference gets implicitly from tailing one growing log file
+(GcLogStream.scala:45-51 re-reads only the appended region) restated for a
+keyed, mutable corpus.
+
+Scale notes (100 TB):
+  * The diff is ONE full-outer hash join on the snapshot key, with both
+    sides reduced in-scan to ``(key, fingerprint)`` — the join never carries
+    document bodies, so shuffle bytes are O(rows x ~50 B), not O(corpus).
+  * Fingerprints (md5 of the compared columns) are computed map-side inside
+    the scan projection; column pruning keeps the scan at key+compared cols.
+  * When both snapshots come through the storage seam bucketed by the key
+    (storage.py bucket_by leg, exercised by q59), the join is zero-exchange:
+    no shuffle at all, each task diffs one co-located bucket pair.
+  * Output is the change set only — tiny relative to the corpus — so the
+    downstream incremental reprocess (e.g. q53's signature-store update)
+    scans O(changes), not O(snapshot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["snapshot_diff", "synth_mutated_snapshot"]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    compare_cols: tuple[str, ...] = ("text",),
+    emit_unchanged: bool = False,
+) -> DataFrame:
+    """Change set between two snapshots keyed by ``key``.
+
+    Returns one row per changed key: ``(key, change_type, old_fp, new_fp)``
+    with ``change_type`` in ``{'added', 'deleted', 'updated'}`` (plus
+    ``'unchanged'`` when ``emit_unchanged``). The fingerprint is md5 over
+    the ``compare_cols`` concatenation (NUL-separated so column boundaries
+    can't alias) — engine-portable, so an external system (or the DuckDB
+    oracle) can recompute it from the raw snapshots.
+    """
+    fp = F.md5(F.concat_ws("\x00", *[F.col(c) for c in compare_cols]))
+    o = old.select(F.col(key), fp.alias("old_fp"))
+    n = new.select(F.col(key), fp.alias("new_fp"))
+    joined = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("deleted"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(F.col(key), change.alias("change_type"), "old_fp", "new_fp")
+    if not emit_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
+def synth_mutated_snapshot(docs: DataFrame, salt: str = "snap2") -> DataFrame:
+    """Deterministic "next snapshot" of the documents table (test/bench
+    scaffolding, like sources/transcripts.synth_transcripts — NOT a pipeline
+    operator). Buckets docs by the first hex char of md5(doc_id || ':salt'):
+
+      * ``'0'`` → deleted from the new snapshot  (~1/16 of docs)
+      * ``'1'`` → text updated (suffix appended) (~1/16)
+      * ``'2'`` → an ADDITIONAL new doc derived from it (doc_id + 10^10,
+        prefixed text) appears in the new snapshot (~1/16)
+      * everything else unchanged
+
+    md5-derived so the DuckDB oracle reproduces the exact same snapshot
+    from the raw documents view.
+    """
+    h = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{salt}"))), 1, 1)
+    base = docs.withColumn("_h", h)
+    kept = (
+        base.filter(F.col("_h") != "0")
+        .withColumn(
+            "text",
+            F.when(F.col("_h") == "1", F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text")),
+        )
+        .drop("_h")
+    )
+    added = (
+        base.filter(F.col("_h") == "2")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000_000))
+        .withColumn("text", F.concat(F.lit("new: "), F.col("text")))
+        .drop("_h")
+    )
+    return kept.unionByName(added)

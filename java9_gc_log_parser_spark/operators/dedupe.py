@@ -901,3 +901,46 @@ def dup_ngram_gate(
             (frac <= max_dup_frac).alias("keep"),
         )
     )
+
+
+def canonical_select(
+    clusters: DataFrame,
+    scored: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the best document per duplicate cluster by a quality score.
+
+    :func:`dedup_clusters` keeps the *smallest doc id* per component — fine
+    for exact dups, wasteful for near-dups where variants differ in quality
+    (truncation, boilerplate, OCR noise). This operator re-selects the
+    canonical representative as the cluster member with the highest
+    ``score_col`` (ties broken by smallest id, so selection is total and
+    deterministic). Output: one row per doc —
+    ``(id_col, cluster_id, score_col, is_canonical)``;
+    ``filter(is_canonical)`` is the quality-aware deduplicated corpus.
+
+    Scale notes (100 TB): one equi-join on the doc id (clusters ⋈ scores —
+    both sides one row/doc, co-partitionable) + one window partitioned by
+    cluster_id. Cluster cardinality ~= corpus (singletons keep their own
+    id), but per-partition state is a single running max (rank==1 over a
+    bounded-size frame), the same millions-of-tiny-partitions shape as the
+    q43 per-doc top-k — no global sort, no skew beyond the largest duplicate
+    cluster, which near-dup blocking already bounds. The score must be
+    rounded to a fixed precision BEFORE ordering (quality_score is 6 dp)
+    so rank ties are broken identically across engines/retries.
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clusters.select(id_col, "cluster_id")
+        .join(scored.select(id_col, score_col), id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            score_col,
+            (F.col("_rk") == 1).alias("is_canonical"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Unit tests for operators/cdc.py (snapshot diff) and
+dedupe.canonical_select — known-answer fixtures in the reference's
+table-driven test style (GcLineParserTest.scala:14-79)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from java9_gc_log_parser_spark.operators.cdc import (
+    snapshot_diff,
+    synth_mutated_snapshot,
+)
+from java9_gc_log_parser_spark.operators.dedupe import canonical_select
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    old = _snap(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _snap(spark, [(2, "b"), (3, "c2"), (4, "d")])
+    got = {
+        r["doc_id"]: r["change_type"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "deleted", 3: "updated", 4: "added"}
+
+
+def test_snapshot_diff_emit_unchanged(spark):
+    old = _snap(spark, [(1, "a"), (2, "b")])
+    new = _snap(spark, [(1, "a"), (2, "b2")])
+    rows = snapshot_diff(old, new, emit_unchanged=True).collect()
+    got = {r["doc_id"]: r["change_type"] for r in rows}
+    assert got == {1: "unchanged", 2: "updated"}
+    fps = {r["doc_id"]: (r["old_fp"], r["new_fp"]) for r in rows}
+    assert fps[1][0] == fps[1][1]
+    assert fps[2][0] != fps[2][1] and None not in fps[2]
+
+
+def test_snapshot_diff_multi_column_fingerprint(spark):
+    # column-boundary aliasing must NOT collide: ("ab","c") vs ("a","bc")
+    old = spark.createDataFrame([(1, "ab", "c")], "doc_id long, a string, b string")
+    new = spark.createDataFrame([(1, "a", "bc")], "doc_id long, a string, b string")
+    out = snapshot_diff(old, new, compare_cols=("a", "b")).collect()
+    assert [r["change_type"] for r in out] == ["updated"]
+
+
+def test_synth_mutated_snapshot_is_deterministic_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web", 6) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a = synth_mutated_snapshot(docs).orderBy("doc_id").collect()
+    b = synth_mutated_snapshot(docs).orderBy("doc_id").collect()
+    assert a == b
+    ids = [r["doc_id"] for r in a]
+    assert len(ids) == len(set(ids))  # added ids don't collide with kept
+    diff = snapshot_diff(docs, synth_mutated_snapshot(docs))
+    kinds = {r["change_type"] for r in diff.collect()}
+    assert kinds == {"added", "deleted", "updated"}
+
+
+def test_canonical_select_prefers_quality_then_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    rows = canonical_select(clusters, scored).collect()
+    canon = sorted(r["doc_id"] for r in rows if r["is_canonical"])
+    # doc 2 beats 3 on the id tie-break; singleton 7 is its own canonical
+    assert canon == [2, 7]
+    assert len(rows) == 4  # one row per doc, non-canonical kept with flag
