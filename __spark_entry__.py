@@ -1376,6 +1376,48 @@ def q70_canonical_select(spark, sf_dir):
     return canonical_select(clusters, scored)
 
 
+def q71_dup_span_scrub(spark, sf_dir):
+    """Duplicated-SPAN removal (ExactSubstr-style, bounded-context): every
+    token covered by a word 5-gram occurring in >= 2 distinct documents is
+    scrubbed, the rest of the document survives — the within-document
+    boilerplate-removal operator that doc-level dedup (q13/q18/q22) cannot
+    express. The oracle replays positional gram extraction, the
+    distinct-doc-count gate, coverage union, and the re-joined clean text
+    end-to-end (clean_text is value-hashed, so reassembly order matters)."""
+    from java9_gc_log_parser_spark.operators.dedupe import dup_span_scrub
+
+    return dup_span_scrub(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
+def q72_incremental_refresh(spark, sf_dir):
+    """CDC-driven incremental view maintenance: yesterday's q15 quality
+    table (persisted to parquet, then re-read — a genuine state store) is
+    refreshed via the q69 change set by recomputing ONLY added/updated keys
+    and dropping deleted ones; the oracle recomputes quality over the full
+    mutated snapshot from scratch, so any key the incremental path missed,
+    kept stale, or double-emitted fails the hash."""
+    import shutil
+
+    from java9_gc_log_parser_spark.operators.cdc import (
+        incremental_refresh,
+        snapshot_diff,
+        synth_mutated_snapshot,
+    )
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    root = _scratch(sf_dir, "q72")
+    shutil.rmtree(root, ignore_errors=True)
+    old = _docs(spark, sf_dir)
+    quality_score(old).write.parquet(f"{root}/state")
+    old_state = spark.read.parquet(f"{root}/state")
+    new = synth_mutated_snapshot(old)
+    return incremental_refresh(
+        old_state, snapshot_diff(old, new), new, quality_score
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2897,6 +2939,67 @@ rk AS (
 SELECT doc_id, cluster_id, quality_score, rn = 1 AS is_canonical FROM rk
 """
 
+# q71: positional 5-grams (1-based, matching Spark's slice indexing), the
+# >= 2-distinct-docs gate, coverage union, anti-join, and ordered
+# reassembly — all replayed independently; ltoks (lowercased tokens) are
+# both the match basis and the reassembly basis, per the operator contract.
+_ORACLES["q71_dup_span_scrub"] = _DTOK + """
+, grams AS (
+  SELECT doc_id, i AS gpos, array_to_string(ltoks[i:i+4], ' ') AS gram
+  FROM dtok, UNNEST(range(1, greatest(len(ltoks) - 3, 1))) AS t(i)
+),
+dupg AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+  FROM grams g JOIN dupg USING (gram), UNNEST(range(0, 5)) AS o(o)
+),
+tk AS (
+  SELECT doc_id, unnest(ltoks) AS tok, generate_subscripts(ltoks, 1) AS pos
+  FROM dtok
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.ltoks) AS BIGINT) AS n_tokens,
+       CAST(len(d.ltoks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM dtok d LEFT JOIN agg a USING (doc_id)
+"""
+
+# q72: full from-scratch recompute of the q15 quality body over the same
+# md5-derived mutated snapshot the Spark side refreshes incrementally.
+_ORACLES["q72_incremental_refresh"] = """
+WITH h AS (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':snap2'), 1, 1) AS hx
+  FROM documents
+),
+newsnap AS (
+  SELECT doc_id,
+         CASE WHEN hx = '1' THEN text || ' rev2' ELSE text END AS text
+  FROM h WHERE hx <> '0'
+  UNION ALL
+  SELECT doc_id + 10000000000 AS doc_id, 'new: ' || text AS text
+  FROM h WHERE hx = '2'
+),
+dtok AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM newsnap
+)
+""" + _Q15_BODY
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3002,6 +3105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_stream_session_window": q68_stream_session_window,
         "q69_snapshot_diff": q69_snapshot_diff,
         "q70_canonical_select": q70_canonical_select,
+        "q71_dup_span_scrub": q71_dup_span_scrub,
+        "q72_incremental_refresh": q72_incremental_refresh,
     }
 
 

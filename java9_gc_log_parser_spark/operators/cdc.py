@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "synth_mutated_snapshot"]
+__all__ = ["incremental_refresh", "snapshot_diff", "synth_mutated_snapshot"]
 
 
 def snapshot_diff(
@@ -95,3 +95,40 @@ def synth_mutated_snapshot(docs: DataFrame, salt: str = "snap2") -> DataFrame:
         .drop("_h")
     )
     return kept.unionByName(added)
+
+
+def incremental_refresh(
+    old_state: DataFrame,
+    changes: DataFrame,
+    new_snapshot: DataFrame,
+    recompute,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Incremental view maintenance driven by a :func:`snapshot_diff` change
+    set: refresh a per-key derived table (quality scores, token stats,
+    dedup signatures, ...) by recomputing ONLY the changed keys.
+
+        refreshed = (old_state minus changed keys) ∪ recompute(added+updated)
+
+    ``recompute`` is the same function that built ``old_state`` (applied to
+    the new snapshot restricted to added/updated keys), so the maintained
+    invariant — and what the q72 oracle checks end-to-end — is
+    ``incremental_refresh(...) == recompute(new_snapshot)`` exactly.
+
+    Scale notes (100 TB): the change set is tiny relative to the corpus, so
+    both joins broadcast it — the carried-forward leg is a broadcast
+    anti-join (one scan of old_state, no shuffle), and the recompute leg is
+    a broadcast semi-join pruning the new snapshot scan to O(changes) before
+    the expensive derivation runs. Nothing in the big tables shuffles; at a
+    daily refresh cadence this is the difference between reprocessing 100 TB
+    and reprocessing the day's delta.
+    """
+    changed_keys = changes.select(key)
+    to_recompute = changes.filter(
+        F.col("change_type").isin("added", "updated")
+    ).select(key)
+    carried = old_state.join(F.broadcast(changed_keys), key, "left_anti")
+    fresh = recompute(
+        new_snapshot.join(F.broadcast(to_recompute), key, "left_semi")
+    )
+    return carried.unionByName(fresh)

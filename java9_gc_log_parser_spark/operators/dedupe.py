@@ -944,3 +944,103 @@ def canonical_select(
             (F.col("_rk") == 1).alias("is_canonical"),
         )
     )
+
+
+def dup_span_scrub(
+    docs: DataFrame, n: int = 5, min_docs: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN removal: scrub every token covered
+    by a word n-gram that occurs in >= ``min_docs`` distinct documents,
+    keeping the rest of the document intact.
+
+    Doc-level dedup (q13/q18/q22) drops whole documents; the long tail of
+    contamination is boilerplate SPANS inside otherwise-unique documents
+    (headers, license blocks, templated paragraphs — the motivation for
+    suffix-array ExactSubstr dedup in "Deduplicating Training Data Makes
+    Language Models Better"). This is the bounded-context Spark restatement:
+    positional n-gram occurrences instead of a suffix array, so overlapping
+    duplicated grams merge naturally into maximal scrubbed spans. Matching
+    and reassembly are over lowercased whitespace tokens (the corpus-wide
+    dedup token contract, tokens_col).
+
+    Output, one row per input doc:
+    ``(id_col, n_tokens, n_removed, clean_text)`` — clean_text is the
+    kept tokens rejoined with single spaces ('' if everything was scrubbed).
+
+    Scale notes (100 TB): the dominant cost is the gram-keyed
+    count-distinct + join-back — a map-combinable aggregation plus one
+    shuffle join, both on the gram key; no pairwise doc join ever forms
+    (contrast a suffix-array build, which needs a global sort). Coverage
+    explode is bounded by n x duplicated-gram occurrences, not corpus size.
+    In production shrink the shuffle by joining on xxhash64(gram) instead
+    of the gram string (64-bit keys, collision-safe at corpus scale); the
+    string key is kept here so the DuckDB oracle can replay the join
+    exactly. Reassembly state is one (pos, tok) list per doc — bounded by
+    document length, never by corpus.
+    """
+    assert_no_staging(docs, "_lt", "_ga")
+    k = F.size("_lt")
+    grams_arr = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.array_join(F.slice(F.col("_lt"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        docs.withColumn("_lt", tokens_col(F.lower(F.col("text"))))
+        .withColumn("_ga", grams_arr)
+        # same CollectMetrics optimizer barrier as with_shingles: keep the
+        # tokenize+gram chain from re-inlining below the explodes
+        .observe(
+            f"spanscrub_obs_{next(_obs_ids)}", F.count(F.lit(1)).alias("rows")
+        )
+    ).persist()
+    # (doc, gpos, gram): gpos is 1-based (slice semantics), gram covers
+    # token positions [gpos, gpos + n - 1]
+    grams = base.select(
+        id_col, F.posexplode("_ga").alias("_gp0", "gram")
+    ).select(id_col, (F.col("_gp0") + 1).alias("gpos"), "gram")
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dupg, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col, F.posexplode("_lt").alias("_p0", "tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "tok")
+    kept = toks.join(cov, [id_col, "pos"], "left_anti")
+    scrubbed = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    out = (
+        base.select(id_col, k.cast("long").alias("n_tokens"))
+        .join(scrubbed, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        )
+    )
+    return out

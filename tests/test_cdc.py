@@ -75,3 +75,28 @@ def test_canonical_select_prefers_quality_then_min_id(spark):
     # doc 2 beats 3 on the id tie-break; singleton 7 is its own canonical
     assert canon == [2, 7]
     assert len(rows) == 4  # one row per doc, non-canonical kept with flag
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    from java9_gc_log_parser_spark.operators.cdc import incremental_refresh
+    from java9_gc_log_parser_spark.operators.text_analysis import quality_score
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with the a words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    old_state = quality_score(docs)
+    new = spark.createDataFrame(
+        # 0..39 kept (5 updated), 40..49 deleted, 100..104 added
+        [(i, f"text number {i} with the a words" + (" upd" if i % 8 == 0 else ""))
+         for i in range(40)]
+        + [(100 + i, f"brand new doc {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    from java9_gc_log_parser_spark.operators.cdc import snapshot_diff
+
+    got = incremental_refresh(
+        old_state, snapshot_diff(docs, new), new, quality_score
+    )
+    want = quality_score(new)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
