@@ -1413,9 +1413,11 @@ def q72_incremental_refresh(spark, sf_dir):
     quality_score(old).write.parquet(f"{root}/state")
     old_state = spark.read.parquet(f"{root}/state")
     new = synth_mutated_snapshot(old)
-    return incremental_refresh(
-        old_state, snapshot_diff(old, new), new, quality_score
-    )
+    # the change set is a persisted CDC table, per the operator's contract
+    # (it is referenced by both refresh legs)
+    snapshot_diff(old, new).write.parquet(f"{root}/changes")
+    changes = spark.read.parquet(f"{root}/changes")
+    return incremental_refresh(old_state, changes, new, quality_score)
 
 
 # --------------------------------------------------------------------------

@@ -121,7 +121,11 @@ def incremental_refresh(
     a broadcast semi-join pruning the new snapshot scan to O(changes) before
     the expensive derivation runs. Nothing in the big tables shuffles; at a
     daily refresh cadence this is the difference between reprocessing 100 TB
-    and reprocessing the day's delta.
+    and reprocessing the day's delta. ``changes`` is referenced by BOTH legs
+    (and the semi join is pushed below a unioned snapshot, multiplying
+    references further): pass it MATERIALIZED — a persisted CDC table or at
+    least ``.persist()`` — or Catalyst re-plans the full snapshot diff once
+    per reference (plan-asserted in tests/test_plans.py).
     """
     changed_keys = changes.select(key)
     to_recompute = changes.filter(

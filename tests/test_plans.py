@@ -339,3 +339,39 @@ def test_cms_estimation_joins_are_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_refresh_broadcasts_the_change_set(spark, sf_dir):
+    """q72's scale contract: BOTH legs (anti-join carry, semi-join prune)
+    broadcast the tiny change set — the big tables never shuffle."""
+    from java9_gc_log_parser_spark.operators.cdc import (
+        incremental_refresh,
+        snapshot_diff,
+        synth_mutated_snapshot,
+    )
+    from java9_gc_log_parser_spark.operators.text_analysis import quality_score
+
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = synth_mutated_snapshot(old)
+    changes = snapshot_diff(old, new).persist()  # the materialization contract
+    try:
+        out = incremental_refresh(quality_score(old), changes, new, quality_score)
+        plan = _formatted(out)
+        assert "BroadcastHashJoin" in plan
+        # with the change set materialized, no shuffle join remains: the
+        # diff's full-outer SMJ is behind the cache, both refresh legs
+        # broadcast
+        assert "SortMergeJoin" not in plan.split("InMemoryTableScan")[0]
+        assert "CartesianProduct" not in plan
+    finally:
+        changes.unpersist()
+
+
+def test_dup_span_scrub_plan_is_jvm_only_and_never_cartesian(spark, sf_dir):
+    from java9_gc_log_parser_spark.operators.dedupe import dup_span_scrub
+
+    out = dup_span_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
