@@ -1420,6 +1420,32 @@ def q72_incremental_refresh(spark, sf_dir):
     return incremental_refresh(old_state, changes, new, quality_score)
 
 
+def q73_length_outlier_gate(spark, sf_dir):
+    """Per-source dynamic length gating: each doc judged against its OWN
+    source's exact [p05, p95] token-count band (a global gate is wrong for
+    mixed corpora); the oracle replays the interpolated percentiles with
+    quantile_cont — the established Spark percentile == DuckDB
+    quantile_cont exact pair."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        length_outlier_gate,
+    )
+
+    return length_outlier_gate(_docs(spark, sf_dir))
+
+
+def q74_key_skew_report(spark, sf_dir):
+    """Hot-key diagnostics for the conv_id shuffle key: top-10 hottest
+    conversations with share and hot-factor (count vs a uniform key) — the
+    measurement that justifies the salted G2 aggregation; map-combinable
+    count + TakeOrderedAndProject, so the report itself absorbs the skew
+    it measures."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    return key_skew_report(synth_transcripts(spark, sf_dir), "conv_id")
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3002,6 +3028,43 @@ dtok AS (
 )
 """ + _Q15_BODY
 
+# q73: quantile_cont is DuckDB's exact interpolated percentile — the same
+# definition as Spark's percentile (established pair, q11/q65); keep
+# compares the integer count to the UNROUNDED thresholds in both engines.
+_ORACLES["q73_length_outlier_gate"] = _DTOK + """
+, n AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM dtok),
+b AS (
+  SELECT source,
+         quantile_cont(n_tokens, 0.05) AS lo_raw,
+         quantile_cont(n_tokens, 0.95) AS hi_raw
+  FROM n GROUP BY source
+)
+SELECT n.doc_id, n.source, n.n_tokens,
+       ROUND(CAST(b.lo_raw AS DOUBLE), 6) AS lo,
+       ROUND(CAST(b.hi_raw AS DOUBLE), 6) AS hi,
+       n.n_tokens >= b.lo_raw AND n.n_tokens <= b.hi_raw AS keep
+FROM n JOIN b USING (source)
+"""
+
+# q74: counts, share, and hot-factor replayed arithmetically; ties rank by
+# conv_id ascending in both engines.
+_ORACLES["q74_key_skew_report"] = O.with_ctes() + """
+, c AS (SELECT conv_id, COUNT(*) AS n FROM transcripts GROUP BY conv_id),
+t AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS k
+  FROM c
+),
+r AS (
+  SELECT conv_id, n,
+         row_number() OVER (ORDER BY n DESC, conv_id ASC) AS rank
+  FROM c
+)
+SELECT CAST(rank AS INT) AS rank, conv_id, CAST(n AS BIGINT) AS n_rows,
+       ROUND(n / t.total, 6) AS share,
+       ROUND(n * t.k / t.total, 6) AS hot_factor
+FROM r CROSS JOIN t WHERE rank <= 10
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3109,6 +3172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_canonical_select": q70_canonical_select,
         "q71_dup_span_scrub": q71_dup_span_scrub,
         "q72_incremental_refresh": q72_incremental_refresh,
+        "q73_length_outlier_gate": q73_length_outlier_gate,
+        "q74_key_skew_report": q74_key_skew_report,
     }
 
 

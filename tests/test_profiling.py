@@ -1,0 +1,38 @@
+"""Unit tests for operators/profiling.py (skew report, length gate)."""
+
+from __future__ import annotations
+
+from java9_gc_log_parser_spark.operators.profiling import (
+    key_skew_report,
+    length_outlier_gate,
+)
+
+
+def test_key_skew_report_ranks_and_factors(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("a",)] * 1 + [("b",)] * 1,
+        "k string",
+    )
+    rows = {r["rank"]: r for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert rows[1]["k"] == "hot" and rows[1]["n_rows"] == 8
+    assert rows[1]["share"] == 0.8
+    # 3 distinct keys, uniform would be 10/3 each: 8 / (10/3) = 2.4
+    assert rows[1]["hot_factor"] == 2.4
+    assert rows[2]["k"] == "a"  # tie with b broken by key asc
+    assert len(rows) == 2
+
+
+def test_length_outlier_gate_per_group_bands(spark):
+    docs = spark.createDataFrame(
+        # group g1: lengths 1..10 -> p05=1.45, p95=9.55 -> keep 2..9
+        [(i, "g1", " ".join(["w"] * i)) for i in range(1, 11)]
+        # group g2: all length 3 -> band degenerate [3,3] -> all kept
+        + [(100 + i, "g2", "x y z") for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in length_outlier_gate(docs).collect()}
+    assert [out[i]["keep"] for i in range(1, 11)] == (
+        [False] + [True] * 8 + [False]
+    )
+    assert out[1]["lo"] == 1.45 and out[1]["hi"] == 9.55
+    assert all(out[100 + i]["keep"] for i in range(4))
