@@ -1446,6 +1446,133 @@ def q74_key_skew_report(spark, sf_dir):
     return key_skew_report(synth_transcripts(spark, sf_dir), "conv_id")
 
 
+def q75_bloom_prune(spark, sf_dir):
+    """Bloom-filter runtime pruning with an AUDITED false-positive rate:
+    "replay the conversations that had assembly errors" as a fact-side
+    map-only prune against a 4096-bit md5-derived bloom of the error
+    conv_ids, then exact membership verification — the explicit,
+    engine-reproducible form of Spark's AQE runtime bloom filter. The
+    oracle rebuilds the bitmap, re-probes every row, and re-derives all six
+    audit counters from raw data."""
+    from java9_gc_log_parser_spark.operators.runtime_filter import (
+        bloom_prune_audit,
+    )
+
+    keys = assembly_dead_letters(
+        supported_types_filter(_parsed(spark, sf_dir))
+    ).select("conv_id")
+    return bloom_prune_audit(synth_transcripts(spark, sf_dir), keys, "conv_id")
+
+
+def q76_stream_static_join(spark, sf_dir):
+    """Stream-static broadcast enrichment join — the remaining Structured
+    Streaming join flavor (q66 covers stream-stream): the live turn stream
+    joins the static role dimension (broadcast, re-resolved per
+    micro-batch — how a slowly-changing dim is consumed by a stream), then
+    a watermarked tumbling-window aggregate per role_group in append mode.
+    The oracle replays the batch join plus q64's emission rule: windows
+    whose end exceeds the final watermark are withheld."""
+    import shutil
+
+    from java9_gc_log_parser_spark.sources.dims import role_dim
+
+    root = _scratch(sf_dir, "q76")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .join(F.broadcast(role_dim(spark)), "role")
+            .groupBy(F.window("ts", "6 hours").alias("_w"), "role_group")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.col("is_agent").cast("long")).alias("n_agent_turns"),
+            )
+            .select(
+                F.col("_w.start").alias("window_start"),
+                "role_group",
+                F.col("n_turns").cast("long").alias("n_turns"),
+                F.col("n_agent_turns").cast("long").alias("n_agent_turns"),
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outp).select(
+        "window_start", "role_group", "n_turns", "n_agent_turns"
+    )
+
+
+def q77_range_cluster_layout(spark, sf_dir):
+    """Deterministic range-clustered write + zone-map audit: events are
+    clustered on exact time percentiles (a pure function of the data,
+    unlike repartitionByRange's sampled boundaries), written through the
+    storage seam partitioned by cluster and sorted within partitions, and
+    the per-cluster min/max/count zone map — with the pairwise
+    disjointness proof that makes min/max file skipping sound — is
+    computed from the WRITTEN table, so the round trip is what's checked.
+    The oracle replays boundaries (quantile_cont), assignment, and stats
+    arithmetically from raw events."""
+    import shutil
+
+    from java9_gc_log_parser_spark.operators.layout import (
+        range_cluster,
+        zone_map,
+    )
+    from java9_gc_log_parser_spark.storage import (
+        TableRef,
+        read_table,
+        write_table,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    clustered = (
+        range_cluster(ev, "ts_us", n_clusters=8)
+        .repartition("cluster")
+        .sortWithinPartitions("ts_us")
+    )
+    root = _scratch(sf_dir, "q77")
+    shutil.rmtree(root, ignore_errors=True)
+    ref = TableRef(f"{root}/events_clustered", partition_by=("cluster",))
+    write_table(clustered, ref)
+    return zone_map(read_table(spark, ref), "ts_us").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_rows",
+        "min_v",
+        "max_v",
+        "disjoint",
+    )
+
+
+def q78_containment_dedup(spark, sf_dir):
+    """Asymmetric near-dup by Jaccard CONTAINMENT with rare-shingle
+    blocking: catches short-doc-inside-long-doc duplication that the
+    symmetric q18/q22 screens score low, with candidate generation bounded
+    by the df<=5 rare-gram postings (hot boilerplate grams generate NO
+    pairs). Fully engine-replayable — the oracle re-derives candidates and
+    containment from raw text, no hash seam."""
+    from java9_gc_log_parser_spark.operators.dedupe import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), n=3, df_max=5, threshold=0.6)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3065,6 +3192,137 @@ SELECT CAST(rank AS INT) AS rank, conv_id, CAST(n AS BIGINT) AS n_rows,
 FROM r CROSS JOIN t WHERE rank <= 10
 """
 
+
+def _bloom_pos_sql(expr: str, r: int, m_bits: int = 4096) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr} || ':bloom:{r}'), 1, 4)) "
+        f"AS INTEGER) % {m_bits}"
+    )
+
+
+# q75: the oracle rebuilds the 4096-bit bloom from the error conv_ids with
+# the same md5 hex-fold the Spark side uses (the q60 recipe), re-probes
+# every fact row, and re-derives all six audit counters — the FPR is
+# cross-engine-audited, not assumed.
+_ORACLES["q75_bloom_prune"] = O.with_ctes() + f"""
+, dimk AS (SELECT DISTINCT conv_id FROM easm WHERE verdict <> 'ok'),
+bits AS (
+  SELECT DISTINCT pos FROM dimk CROSS JOIN (VALUES (0),(1),(2),(3)) h(r)
+  CROSS JOIN LATERAL (SELECT CASE h.r
+      WHEN 0 THEN {_bloom_pos_sql('dimk.conv_id', 0)}
+      WHEN 1 THEN {_bloom_pos_sql('dimk.conv_id', 1)}
+      WHEN 2 THEN {_bloom_pos_sql('dimk.conv_id', 2)}
+      ELSE {_bloom_pos_sql('dimk.conv_id', 3)} END AS pos) p
+),
+f AS (
+  SELECT
+    ({_bloom_pos_sql('t.conv_id', 0)}) IN (SELECT pos FROM bits)
+    AND ({_bloom_pos_sql('t.conv_id', 1)}) IN (SELECT pos FROM bits)
+    AND ({_bloom_pos_sql('t.conv_id', 2)}) IN (SELECT pos FROM bits)
+    AND ({_bloom_pos_sql('t.conv_id', 3)}) IN (SELECT pos FROM bits)
+      AS pass,
+    t.conv_id IN (SELECT conv_id FROM dimk) AS member
+  FROM transcripts t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       ROUND(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN NOT member THEN 1 ELSE 0 END), 6) AS fp_rate
+FROM f
+"""
+
+# q76: batch join to the shared role_dim literal CTE + q64's emission rule
+# (windows whose end exceeds the final watermark are withheld).
+_ORACLES["q76_stream_static_join"] = O.with_ctes() + """
+, mx AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) - 7200000 AS wm_ms FROM transcripts
+),
+w AS (
+  SELECT (epoch_us(t.ts) // 21600000000) * 21600000000 AS ws_us,
+         d.role_group, d.is_agent
+  FROM transcripts t JOIN role_dim d ON t.role = d.role
+)
+SELECT make_timestamp(ws_us) AS window_start, role_group,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN is_agent THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agent_turns
+FROM w CROSS JOIN mx
+WHERE (ws_us + 21600000000) // 1000 <= mx.wm_ms
+GROUP BY 1, 2
+"""
+
+# q77: boundaries replayed with quantile_cont over the DOUBLE-cast micros
+# (the established q73 percentile pair), assignment with the same strict >
+# count, stats + disjointness re-derived arithmetically from raw events.
+_ORACLES["q77_range_cluster_layout"] = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+b AS (
+  SELECT quantile_cont(CAST(ts_us AS DOUBLE),
+    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+  FROM ev
+),
+c AS (
+  SELECT ts_us,
+         CAST(len(list_filter(b.bs, x -> ts_us > x)) AS INT) AS cluster
+  FROM ev CROSS JOIN b
+),
+s AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(ts_us) AS BIGINT) AS min_v,
+         CAST(MAX(ts_us) AS BIGINT) AS max_v
+  FROM c GROUP BY 1
+)
+SELECT cluster, n_rows, min_v, max_v,
+       COALESCE(min_v > lag(max_v) OVER (ORDER BY cluster), TRUE)
+         AS disjoint
+FROM s
+"""
+
+# q78: rare-shingle-blocked containment re-derived end-to-end from raw
+# text — distinct trigram shingles, df in [2,5] candidate grams, full
+# posting-list intersection, small-side containment >= 0.6.
+_ORACLES["q78_containment_dedup"] = _DTOK + """
+, sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ltoks) >= 3
+      THEN list_transform(range(1, len(ltoks) - 1),
+                          i -> array_to_string(ltoks[i:i+2], ' '))
+      ELSE [array_to_string(ltoks, ' ')] END)) AS g
+  FROM dtok
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN rare r ON a.g = r.g
+  JOIN sh b ON b.g = a.g AND a.doc_id < b.doc_id
+),
+i AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh pa ON pa.doc_id = c.id_a
+  JOIN sh pb ON pb.doc_id = c.id_b AND pb.g = pa.g
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN i.id_a ELSE i.id_b END
+           AS doc_small,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN i.id_b ELSE i.id_a END
+           AS doc_big,
+         LEAST(sa.n_sh, sb.n_sh) AS n_small,
+         GREATEST(sa.n_sh, sb.n_sh) AS n_big,
+         i.inter,
+         ROUND(i.inter::DOUBLE / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+  FROM i JOIN sz sa ON sa.doc_id = i.id_a
+  JOIN sz sb ON sb.doc_id = i.id_b
+) WHERE containment >= 0.6
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3174,6 +3432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_incremental_refresh": q72_incremental_refresh,
         "q73_length_outlier_gate": q73_length_outlier_gate,
         "q74_key_skew_report": q74_key_skew_report,
+        "q75_bloom_prune": q75_bloom_prune,
+        "q76_stream_static_join": q76_stream_static_join,
+        "q77_range_cluster_layout": q77_range_cluster_layout,
+        "q78_containment_dedup": q78_containment_dedup,
     }
 
 

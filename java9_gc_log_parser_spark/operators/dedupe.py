@@ -1044,3 +1044,97 @@ def dup_span_scrub(
         )
     )
     return out
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    df_max: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by Jaccard CONTAINMENT
+    (Broder's c(A,B) = |A∩B| / |A|): a short document embedded inside a
+    longer one scores ~1.0 here while symmetric Jaccard — what
+    :func:`ngram_jaccard_pairs`/MinHash estimate — stays LOW (|A|/|B|), so
+    quote-and-extend duplication (boilerplate wrappers, doc+appendix,
+    quoted replies) is invisible to the q18/q22 screens and caught by this
+    one.
+
+    Blocking must change too: the size-ratio prune that makes q18 exact is
+    WRONG for containment (the interesting pairs have very different
+    sizes). Instead candidates are pairs sharing a RARE shingle — document
+    frequency in [2, df_max]. Rare-shingle blocking is exact for any pair
+    that shares at least one discriminative shingle, and it is the
+    *frequent* shingles (stopword runs, boilerplate) that would make a
+    naive shingle self-join quadratic: dropping grams with df > df_max
+    bounds every gram's pair fan-out by df_max^2 while losing only pairs
+    whose ENTIRE overlap is corpus-common boilerplate — exactly the pairs
+    a containment dedup must not act on anyway (q58's duplicated-n-gram
+    gate owns that signal).
+
+    Output, one row per detected pair: ``(doc_small, doc_big, n_small,
+    n_big, inter, containment)`` — smaller-shingle-set side first (ties by
+    id), containment = inter / n_small rounded 6 dp, kept iff >= threshold.
+
+    Scale notes (100 TB):
+      * posting-list df is one map-combinable hash agg; the candidate
+        self-join runs ONLY on rare postings (df <= df_max), so pair
+        generation is bounded by sum_g df(g)^2 <= df_max * |rare postings|
+        — never corpus-quadratic, no skew from hot grams (they are gone).
+      * intersection counting joins the candidate pairs back to the FULL
+        posting lists — cost |candidates| * avg shingles, hash joins
+        keyed (doc, gram), all shuffle keys md5-uniform-ish word strings.
+      * fully engine-replayable (no hash seam): DuckDB re-derives
+        candidates and containment from raw text.
+    """
+    sh = with_shingles(docs, n)
+    post = sh.select("doc_id", F.explode("sh").alias("g"))
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    rare = (
+        post.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= df_max))
+        .select("g")
+    )
+    rp = post.join(rare, "g")
+    cand = (
+        rp.select(F.col("doc_id").alias("id_a"), "g")
+        .join(rp.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(post.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
+        .join(post.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn("_a_small", F.col("n_a") <= F.col("n_b"))
+    )
+    return (
+        scored.select(
+            F.when(F.col("_a_small"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_small"),
+            F.when(F.col("_a_small"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_big"),
+            F.least("n_a", "n_b").alias("n_small"),
+            F.greatest("n_a", "n_b").alias("n_big"),
+            "inter",
+            F.round(F.col("inter") / F.least("n_a", "n_b"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -433,3 +433,68 @@ def test_dup_ngram_gate_counts_cross_doc_occurrences(spark):
     assert out[4]["n_shingles"] == 1 and out[4]["dup_shingles"] == 1
     assert not out[4]["keep"]  # dup_frac 1.0 > 0.3
     assert out[5]["dup_shingles"] == 1
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_detects_embedded_doc(spark):
+    from java9_gc_log_parser_spark.operators.dedupe import containment_pairs
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            (1, "s", core),
+            (2, "s", core + " iota kappa lamda mu nu xi omicron pi rho"),
+            (3, "s", "totally unrelated words about other topic entirely here"),
+        ],
+    )
+    out = containment_pairs(docs, n=3, df_max=5, threshold=0.9).collect()
+    assert [(r.doc_small, r.doc_big) for r in out] == [(1, 2)]
+    r = out[0]
+    # every shingle of doc 1 appears in doc 2
+    assert r.containment == 1.0 and r.inter == r.n_small
+    assert r.n_big > r.n_small  # symmetric Jaccard would be n_small/n_big
+
+
+def test_containment_matches_python_ground_truth(spark):
+    from java9_gc_log_parser_spark.operators.dedupe import containment_pairs
+
+    rows = [
+        (i, "s", " ".join(f"w{(i * 7 + j) % 23}" for j in range(12 + i % 5)))
+        for i in range(30)
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_small, r.doc_big): (r.inter, r.n_small, r.containment)
+        for r in containment_pairs(docs, n=3, df_max=5, threshold=0.5).collect()
+    }
+    sh = {i: _py_shingles(t, 3) for i, _, t in rows}
+    dfreq = {}
+    for i, s in sh.items():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    expect = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        shared = sh[a] & sh[b]
+        if not any(2 <= dfreq[g] <= 5 for g in shared):
+            continue  # not a rare-shingle candidate
+        small, big = (a, b) if len(sh[a]) <= len(sh[b]) else (b, a)
+        c = round(len(shared) / len(sh[small]), 6)
+        if c >= 0.5:
+            expect[(small, big)] = (len(shared), len(sh[small]), c)
+    assert got == expect
+
+
+def test_containment_rare_blocking_drops_hot_gram_pairs(spark):
+    from java9_gc_log_parser_spark.operators.dedupe import containment_pairs
+
+    # the only shared shingles are corpus-common (df > df_max): no candidates
+    boiler = "the quick brown"
+    docs = _docs(
+        spark,
+        [(i, "s", f"{boiler} unique{i} token{i} word{i}") for i in range(10)],
+    )
+    assert containment_pairs(docs, n=3, df_max=5, threshold=0.1).count() == 0
