@@ -331,6 +331,11 @@ def _live_latency(spark, sf_dir: str, n_drops: int = 10,
 def _timed_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # warm the Arrow python worker pool (same class of one-off cost as the
+    # JVM JIT/codegen warmup above): the first pandas-UDF stage of a
+    # session pays ~2 s of worker spin-up that would otherwise land on
+    # whichever mapInPandas query runs first (q24)
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
     out = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
