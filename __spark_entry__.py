@@ -1573,6 +1573,52 @@ def q78_containment_dedup(spark, sf_dir):
     return containment_pairs(_docs(spark, sf_dir), n=3, df_max=5, threshold=0.6)
 
 
+def _tpch(spark, sf_dir, name):
+    from java9_gc_log_parser_spark.storage import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def q79_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: one map-combinable hash agg over a
+    6-value key with every monetary sum computed on exact integers (cents /
+    e4 / e6) and divided+rounded once after aggregation — the float
+    contract that makes double money engine-stable across partition
+    orders."""
+    from java9_gc_log_parser_spark.operators.olap import pricing_summary
+
+    return pricing_summary(_tpch(spark, sf_dir, "lineitem"))
+
+
+def q80_star_revenue(spark, sf_dir):
+    """Star-join revenue per customer nation (TPC-H-Q5-shaped): the
+    region->nation->customer dim chain broadcasts end-to-end; the only
+    corpus-sized shuffle is lineitem><orders on orderkey (zero-exchange
+    under the q59 bucketed seam when both are bucketed at write time)."""
+    from java9_gc_log_parser_spark.operators.olap import (
+        star_revenue_by_nation,
+    )
+
+    return star_revenue_by_nation(
+        _tpch(spark, sf_dir, "lineitem"),
+        _tpch(spark, sf_dir, "orders"),
+        _tpch(spark, sf_dir, "customer"),
+        _tpch(spark, sf_dir, "nation"),
+        _tpch(spark, sf_dir, "region"),
+    )
+
+
+def q81_grouping_sets(spark, sf_dir):
+    """Multi-grain rollup in ONE pass: turn counts at (role, tool), (role),
+    (tool), and grand total via CUBE — Spark's Expand replicates rows 4x
+    but partial aggregation collapses them before the single shared
+    shuffle (vs one full shuffle per grain if unioned); grouping_id
+    disambiguates a NULL data value from a NULL rollup total."""
+    from java9_gc_log_parser_spark.operators.olap import grouping_sets_count
+
+    return grouping_sets_count(synth_transcripts(spark, sf_dir), "role", "tool")
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3323,6 +3369,64 @@ SELECT * FROM (
 ) WHERE containment >= 0.6
 """
 
+# q79: identical exact-integer arithmetic (cents/e4/e6 sums, one division
+# + round(6) after the agg, avg = sum/100.0/count in the same fp order).
+_ORACLES["q79_pricing_summary"] = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS dc,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(qc) AS DOUBLE) / 100.0, 6) AS sum_qty,
+  ROUND(CAST(SUM(pc) AS DOUBLE) / 100.0, 6) AS sum_base_price,
+  ROUND(CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0, 6)
+    AS sum_disc_price,
+  ROUND(CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0, 6)
+    AS sum_charge,
+  ROUND(CAST(SUM(qc) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(pc) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(dc) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM li GROUP BY 1, 2
+"""
+
+# q80: same dim chain, window, and e4 revenue integers.
+_ORACLES["q80_star_revenue"] = """
+WITH dims AS (
+  SELECT c_custkey, n_name
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        AS DOUBLE) / 10000.0, 6) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN o ON l.l_orderkey = o.o_orderkey
+JOIN dims d ON o.o_custkey = d.c_custkey
+GROUP BY 1
+"""
+
+# q81: CUBE + GROUPING share Spark's bit order (first listed column =
+# most significant bit); gid disambiguates data NULLs from rollup NULLs.
+_ORACLES["q81_grouping_sets"] = O.with_ctes() + """
+SELECT role, tool, CAST(GROUPING(role, tool) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM transcripts GROUP BY CUBE (role, tool)
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3436,6 +3540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_stream_static_join": q76_stream_static_join,
         "q77_range_cluster_layout": q77_range_cluster_layout,
         "q78_containment_dedup": q78_containment_dedup,
+        "q79_pricing_summary": q79_pricing_summary,
+        "q80_star_revenue": q80_star_revenue,
+        "q81_grouping_sets": q81_grouping_sets,
     }
 
 
