@@ -1448,20 +1448,25 @@ def q74_key_skew_report(spark, sf_dir):
 
 def q75_bloom_prune(spark, sf_dir):
     """Bloom-filter runtime pruning with an AUDITED false-positive rate:
-    "replay the conversations that had assembly errors" as a fact-side
-    map-only prune against a 4096-bit md5-derived bloom of the error
-    conv_ids, then exact membership verification — the explicit,
-    engine-reproducible form of Spark's AQE runtime bloom filter. The
-    oracle rebuilds the bitmap, re-probes every row, and re-derives all six
-    audit counters from raw data."""
+    "re-process the language-unidentified documents" (the q16 cohort that
+    a deeper detector would re-score) as a fact-side map-only prune
+    against a 4096-bit md5-derived bloom of their doc_ids, then exact
+    membership verification — the explicit, engine-reproducible form of
+    Spark's AQE runtime bloom filter. The probe is an O(1) packed-longs
+    bitwise test per hash; the oracle rebuilds the bitmap, re-probes every
+    row, and re-derives all six audit counters from raw data. (Keying on
+    conv_id would be degenerate here: the synthetic transcripts hold only
+    36 conversations, all of them error-tainted at sf0.1.)"""
     from java9_gc_log_parser_spark.operators.runtime_filter import (
         bloom_prune_audit,
     )
 
-    keys = assembly_dead_letters(
-        supported_types_filter(_parsed(spark, sf_dir))
-    ).select("conv_id")
-    return bloom_prune_audit(synth_transcripts(spark, sf_dir), keys, "conv_id")
+    keys = (
+        q16_lang_id(spark, sf_dir)
+        .filter(F.col("pred_lang") == "unknown")
+        .select("doc_id")
+    )
+    return bloom_prune_audit(_docs(spark, sf_dir), keys, "doc_id")
 
 
 def q76_stream_static_join(spark, sf_dir):
@@ -3246,29 +3251,32 @@ def _bloom_pos_sql(expr: str, r: int, m_bits: int = 4096) -> str:
     )
 
 
-# q75: the oracle rebuilds the 4096-bit bloom from the error conv_ids with
-# the same md5 hex-fold the Spark side uses (the q60 recipe), re-probes
-# every fact row, and re-derives all six audit counters — the FPR is
-# cross-engine-audited, not assumed.
-_ORACLES["q75_bloom_prune"] = O.with_ctes() + f"""
-, dimk AS (SELECT DISTINCT conv_id FROM easm WHERE verdict <> 'ok'),
+# q75: the oracle rebuilds the 4096-bit bloom from the q16 unknown-lang
+# doc_ids with the same md5 hex-fold the Spark side uses (the q60 recipe),
+# re-probes every fact row, and re-derives all six audit counters — the
+# FPR is cross-engine-audited, not assumed.
+_Q75_KEY = "CAST(%s.doc_id AS VARCHAR)"
+_ORACLES["q75_bloom_prune"] = f"""
+WITH dimk AS (
+  SELECT doc_id FROM ({{q16}}) WHERE pred_lang = 'unknown'
+),
 bits AS (
   SELECT DISTINCT pos FROM dimk CROSS JOIN (VALUES (0),(1),(2),(3)) h(r)
   CROSS JOIN LATERAL (SELECT CASE h.r
-      WHEN 0 THEN {_bloom_pos_sql('dimk.conv_id', 0)}
-      WHEN 1 THEN {_bloom_pos_sql('dimk.conv_id', 1)}
-      WHEN 2 THEN {_bloom_pos_sql('dimk.conv_id', 2)}
-      ELSE {_bloom_pos_sql('dimk.conv_id', 3)} END AS pos) p
+      WHEN 0 THEN {_bloom_pos_sql(_Q75_KEY % 'dimk', 0)}
+      WHEN 1 THEN {_bloom_pos_sql(_Q75_KEY % 'dimk', 1)}
+      WHEN 2 THEN {_bloom_pos_sql(_Q75_KEY % 'dimk', 2)}
+      ELSE {_bloom_pos_sql(_Q75_KEY % 'dimk', 3)} END AS pos) p
 ),
 f AS (
   SELECT
-    ({_bloom_pos_sql('t.conv_id', 0)}) IN (SELECT pos FROM bits)
-    AND ({_bloom_pos_sql('t.conv_id', 1)}) IN (SELECT pos FROM bits)
-    AND ({_bloom_pos_sql('t.conv_id', 2)}) IN (SELECT pos FROM bits)
-    AND ({_bloom_pos_sql('t.conv_id', 3)}) IN (SELECT pos FROM bits)
+    ({_bloom_pos_sql(_Q75_KEY % 't', 0)}) IN (SELECT pos FROM bits)
+    AND ({_bloom_pos_sql(_Q75_KEY % 't', 1)}) IN (SELECT pos FROM bits)
+    AND ({_bloom_pos_sql(_Q75_KEY % 't', 2)}) IN (SELECT pos FROM bits)
+    AND ({_bloom_pos_sql(_Q75_KEY % 't', 3)}) IN (SELECT pos FROM bits)
       AS pass,
-    t.conv_id IN (SELECT conv_id FROM dimk) AS member
-  FROM transcripts t
+    t.doc_id IN (SELECT doc_id FROM dimk) AS member
+  FROM documents t
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
@@ -3276,10 +3284,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_pos,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
-       ROUND(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)::DOUBLE
-             / SUM(CASE WHEN NOT member THEN 1 ELSE 0 END), 6) AS fp_rate
+       CASE WHEN SUM(CASE WHEN NOT member THEN 1 ELSE 0 END) = 0 THEN 0.0
+            ELSE ROUND(
+              SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)::DOUBLE
+              / SUM(CASE WHEN NOT member THEN 1 ELSE 0 END), 6)
+       END AS fp_rate
 FROM f
-"""
+""".replace("{q16}", _ORACLES["q16_lang_id"])
 
 # q76: batch join to the shared role_dim literal CTE + q64's emission rule
 # (windows whose end exceeds the final watermark are withheld).

@@ -28,9 +28,10 @@ Scale notes (100 TB):
     touches just bloom-survivors (true matches + FPR * non-matches), so
     correctness never depends on the filter — it is purely a scan-side
     row-count reducer, exactly how engines deploy runtime filters.
-  * the sorted-array `array_contains` probe is O(m_set) per row at this
-    m_bits; a production swap packs the bitmap into `binary`/longs and
-    probes with bit tests — same construction, same oracle.
+  * the probe is O(1) per hash: the bitmap is packed into m_bits/64 longs
+    and each probe is element_at + bitwiseAND inside codegen — per-row
+    cost is independent of how many bits are set (an `array_contains`
+    probe would scan the set-bit list per row: O(set bits) x rows).
 
 Reference parity: beyond-reference operator (SURVEY §2 extension set); the
 reference replays whole logs, a transcript store replays *selected*
@@ -92,6 +93,42 @@ def bloom_bits(
     )
 
 
+def packed_bloom(
+    keys: DataFrame, key: str, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
+) -> DataFrame:
+    """The bloom as one row ``(_words: array<long>, _n_bits: long)`` —
+    m_bits/64 packed longs (word w holds positions [64w, 64w+64)) plus the
+    set-bit count for the audit. Positions are distinct before packing, so
+    the per-word SUM of 2^(pos%64) sets each bit exactly once."""
+    pos = bloom_positions(F.col(key), k, m_bits)
+    distinct_pos = (
+        keys.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    )
+    words = distinct_pos.groupBy(
+        (F.col("pos") / 64).cast("int").alias("w")
+    ).agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("bits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_words = m_bits // 64
+    return words.agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("bits")
+        ).alias("_m"),
+        F.sum("n").cast("long").alias("_n_bits"),
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("_m"), w), F.lit(0).cast("long")
+            ),
+        ).alias("_words"),
+        "_n_bits",
+    )
+
+
 def bloom_prune_audit(
     fact: DataFrame,
     keys: DataFrame,
@@ -109,23 +146,24 @@ def bloom_prune_audit(
     Invariants the audit proves: no false negatives (every exact member
     passes the bloom — guaranteed by construction) and the measured FPR.
 
-    Shape: bitmap agg on the tiny side -> broadcast -> map-only probe +
-    broadcast membership join -> ONE map-combinable global agg. The fact
-    side never shuffles.
+    Shape: bitmap agg on the tiny side -> broadcast -> map-only O(1)
+    bitwise probe + broadcast membership join -> ONE map-combinable global
+    agg. The fact side never shuffles.
     """
-    bits = bloom_bits(keys, key, k, m_bits)
+    bloom = packed_bloom(keys, key, k, m_bits)
     members = keys.select(key).distinct().withColumn("_member", F.lit(True))
+
+    def _hit(p):
+        word = F.element_at(F.col("_words"), (p / 64).cast("int") + 1)
+        return F.getbit(word, (p % 64).cast("int")) == 1
+
     probe = F.array(*bloom_positions(F.col(key), k, m_bits))
     flagged = (
         fact.select(key)
-        .crossJoin(F.broadcast(bits))
-        .withColumn(
-            "_pass",
-            F.forall(probe, lambda p: F.array_contains(F.col("_bits"), p)),
-        )
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("_pass", F.forall(probe, _hit))
         .join(F.broadcast(members), key, "left")
         .withColumn("_member", F.coalesce(F.col("_member"), F.lit(False)))
-        .withColumn("_n_bits", F.size("_bits"))
     )
     return flagged.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
