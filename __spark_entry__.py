@@ -1624,6 +1624,53 @@ def q81_grouping_sets(spark, sf_dir):
     return grouping_sets_count(synth_transcripts(spark, sf_dir), "role", "tool")
 
 
+def q82_gapfill_locf(spark, sf_dir):
+    """Hypertable-style continuous rollup (TimescaleDB
+    time_bucket_gapfill + locf + interpolate surface): 6h per-user value
+    buckets densified with up to 8 synthetic rows per gap, each carrying
+    the last observation (LOCF) and the linear interpolation toward the
+    next one. Two bounded exchanges — the rollup groupBy (map-side
+    combined, shuffles rollups not events) and one per-key window over the
+    rolled-up series; densification is an in-row sequence/explode, never a
+    grid join. Cross-engine float contract: bucket means come from an
+    order-independent exact-integer sum divided in a fixed op order."""
+    from java9_gc_log_parser_spark.operators.timeseries import gapfill_locf
+
+    return gapfill_locf(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts="ts",
+        value="value",
+        bucket_us=21_600_000_000,
+        max_fill=8,
+    )
+
+
+def q83_chunk_sliding(spark, sf_dir):
+    """Sliding-window token chunking (window 64, stride 48): the
+    long-document complement of q56's sequence packing — every token of a
+    long doc lands in at least one overlapping fixed-size chunk. Map-only
+    (no shuffle): tokenize once, explode a small index sequence, slice the
+    token array; chunk identity is md5 of the space-joined slice, which
+    the oracle reproduces from the raw text."""
+    from java9_gc_log_parser_spark.operators.sampling import chunk_sliding
+
+    return chunk_sliding(_docs(spark, sf_dir), window=64, stride=48)
+
+
+def q84_weighted_sample(spark, sf_dir):
+    """Deterministic weight-biased priority sample (Efraimidis–Spirakis
+    shape, engine-exact u/w priorities instead of pow): top-k smallest
+    priorities win, heavier (more tokens) docs proportionally likelier.
+    Global top-k plans as TakeOrderedAndProject — per-partition k-heaps,
+    no global sort of the corpus."""
+    from java9_gc_log_parser_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    return weighted_priority_sample(_docs(spark, sf_dir), k=200)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3438,6 +3485,99 @@ SELECT role, tool, CAST(GROUPING(role, tool) AS INT) AS gid,
 FROM transcripts GROUP BY CUBE (role, tool)
 """
 
+# q82: the oracle re-derives the dense grid from the same exact-integer
+# bucket sums (order-independent), leads over the POST-division double (same
+# op tree as Spark: (vmil/1000.0)/n), and fills each gap with a lateral
+# generate_series — interp arithmetic written with the identical
+# nesting (v + ((nv - v) * step) / gap) so both engines produce
+# bit-identical doubles before the 6-dp output rounding.
+_ORACLES["q82_gapfill_locf"] = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS vmil
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), v AS (
+  SELECT user_id, bucket, n_obs,
+         CAST(vmil AS DOUBLE) / 1000.0 / CAST(n_obs AS DOUBLE) AS v
+  FROM b
+), w AS (
+  SELECT user_id, bucket, n_obs, v,
+         LEAD(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS nb,
+         LEAD(v) OVER (PARTITION BY user_id ORDER BY bucket) AS nv
+  FROM v
+), g AS (
+  SELECT *, CASE WHEN nb IS NULL THEN 0
+                 ELSE LEAST(nb - bucket - 1, 8) END AS n_fill
+  FROM w
+), x AS (
+  SELECT *, unnest(generate_series(0, n_fill)) AS step FROM g
+)
+SELECT user_id,
+       make_timestamp((bucket + step) * 21600000000) AS bucket_ts,
+       step > 0 AS filled,
+       (nb IS NOT NULL AND nb - bucket - 1 > 8) AS gap_truncated,
+       CAST(CASE WHEN step = 0 THEN n_obs ELSE 0 END AS BIGINT) AS n_obs,
+       ROUND(v, 6) AS v_locf,
+       ROUND(CASE WHEN nb IS NULL THEN v
+             ELSE v + ((nv - v) * CAST(step AS DOUBLE))
+                      / CAST(nb - bucket AS DOUBLE) END, 6) AS v_interp
+FROM x
+"""
+
+# q83: chunk grid re-derived from the raw text — same tokenizer CTE as the
+# other document oracles, same integer chunk-count formula (double FLOOR on
+# exact small ints), md5 over the identical space-joined slice.
+_ORACLES["q83_chunk_sliding"] = """
+WITH dt AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM dt WHERE len(toks) > 0
+), c AS (
+  SELECT *, CASE WHEN n <= 64 THEN CAST(1 AS BIGINT)
+                 ELSE CAST(FLOOR((n - 64 + 47) / 48.0) AS BIGINT) + 1
+            END AS n_chunks
+  FROM n
+), x AS (
+  SELECT *, unnest(generate_series(0, n_chunks - 1)) AS i FROM c
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(LEAST(64, n - i * 48) AS BIGINT) AS n_tok,
+       md5(array_to_string(
+           list_slice(toks, CAST(i * 48 + 1 AS INTEGER),
+                      CAST(i * 48 + 64 AS INTEGER)), ' ')) AS chunk_md5
+FROM x
+"""
+
+# q84: identical priority arithmetic — u from 8 md5 hex chars (exact int),
+# (u + 0.5) / 2^32 / w: every step a correctly-rounded IEEE op on exact
+# inputs, so the ORDER BY + LIMIT selects the identical k docs.
+_ORACLES["q84_weighted_sample"] = """
+WITH dt AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         GREATEST(CAST(1 AS BIGINT), CAST(len(toks) AS BIGINT)) AS weight,
+         (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wps:v1'),
+                                    1, 8)) AS BIGINT) AS DOUBLE) + 0.5)
+           / 4294967296.0
+           / CAST(GREATEST(CAST(1 AS BIGINT), CAST(len(toks) AS BIGINT))
+                  AS DOUBLE) AS pri
+  FROM dt
+)
+SELECT doc_id, weight, CAST(FLOOR(pri * 1e12) AS BIGINT) AS pri_e12
+FROM p ORDER BY pri, doc_id LIMIT 200
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3554,6 +3694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_pricing_summary": q79_pricing_summary,
         "q80_star_revenue": q80_star_revenue,
         "q81_grouping_sets": q81_grouping_sets,
+        "q82_gapfill_locf": q82_gapfill_locf,
+        "q83_chunk_sliding": q83_chunk_sliding,
+        "q84_weighted_sample": q84_weighted_sample,
     }
 
 

@@ -560,3 +560,120 @@ def epoch_order(
         .cast("long")
         .alias("global_pos"),
     )
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap: cut every document into
+    fixed-size token windows of ``window`` tokens advancing by ``stride``
+    (overlap = window - stride), the long-document complement of
+    :func:`pack_sequences` — packing concatenates SHORT docs into fixed
+    contexts, chunking splits LONG docs into overlapping ones (the standard
+    RAG / pretraining long-doc treatment so no token is lost at a hard
+    truncation boundary).
+
+    Chunk count for an n-token doc: 1 if n <= window, else
+    ``floor((n - window + stride - 1) / stride) + 1`` — the last chunk may
+    be short but every token lands in at least one chunk. Emitted per
+    chunk: start offset, token count, and md5 of the space-joined token
+    slice (a portable content id any engine reproduces from the text).
+
+    Scale shape (100 TB): map-only — tokenize, ``sequence`` + ``explode``
+    per doc, ``slice`` the token array; no shuffle, no state, output
+    partitioning inherits the scan. The explode fan-out is bounded by
+    n/stride per doc (~2% row blow-up per 1/stride), and the token array is
+    built once per doc inside the same projection (never re-derived per
+    chunk — the q41-style CollapseProject re-inlining trap is avoided by
+    exploding only the small index sequence, not a per-chunk HOF column).
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 1 <= stride <= window:
+        raise ValueError(f"stride must be in [1, window], got {stride}")
+    base = docs.select(
+        F.col(id_col), tokens_col(F.col("text")).alias("_ck_toks")
+    ).withColumn("_ck_n", F.size("_ck_toks").cast("long"))
+    n = F.col("_ck_n")
+    n_chunks = F.when(n <= window, F.lit(1).cast("long")).otherwise(
+        F.floor((n - window + (stride - 1)) / F.lit(stride)) + 1
+    )
+    start = F.col("_ck_i") * stride
+    return (
+        base.filter(n > 0)
+        .withColumn(
+            "_ck_i",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_ck_i").cast("int").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(window).cast("long"), n - start).alias("n_tok"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("_ck_toks"), start.cast("int") + 1, window),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int = 200,
+    id_col: str = "doc_id",
+    salt: str = "wps:v1",
+) -> DataFrame:
+    """Deterministic weight-biased priority sampling: draw ``k`` documents
+    with inclusion probability increasing in document weight (token count),
+    reproducibly — the same corpus and salt select the same k docs on any
+    engine, any partitioning, any run.
+
+    Mechanism (priority-sampling family, Efraimidis–Spirakis shape): each
+    doc gets a deterministic uniform u in (0,1) from md5(id || ':' || salt)
+    (8 hex chars -> 32-bit int, u = (i + 0.5) / 2^32) and priority
+    ``u / w``; the k smallest priorities win. Every arithmetic step (add,
+    divide-by-2^32, divide-by-w) is a correctly-rounded IEEE op on exact
+    inputs, so Spark and DuckDB compute bit-identical priorities — the
+    textbook u^(1/w) key is deliberately NOT used because pow() is not
+    correctly rounded and may differ across libm builds; u/w keeps
+    selection monotone in w (heavier docs get proportionally smaller
+    priorities) while staying engine-exact. Ties (identical u AND w) break
+    on id, making the selected set a total-order prefix.
+
+    Scale shape (100 TB): map-only priority computation, then global top-k
+    via ``ORDER BY ... LIMIT k`` — Spark plans TakeOrderedAndProject
+    (per-partition k-heap, driver merges P*k candidate rows, NO global
+    sort/shuffle of the corpus). For k large enough that P*k strains the
+    driver, switch to the two-pass quantile-threshold variant (approx
+    k/N-quantile of the priority, filter, exact top-k on the survivors).
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.greatest(F.lit(1).cast("long"), F.size(tokens_col(F.col("text"))).cast("long"))
+    base = docs.select(
+        F.col(id_col),
+        w.alias("weight"),
+        (u / w.cast("double")).alias("_wp_pri"),
+    )
+    return (
+        base.orderBy(F.col("_wp_pri"), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            "weight",
+            F.floor(F.col("_wp_pri") * F.lit(1e12)).cast("long").alias("pri_e12"),
+        )
+    )

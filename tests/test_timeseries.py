@@ -1,0 +1,180 @@
+"""Unit tests for gap-fill/LOCF rollup, sliding-window chunking, and
+weighted priority sampling: handcrafted ground truth, pure-Python
+recomputation of the deterministic selections, and plan shape."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+import pytest
+
+from java9_gc_log_parser_spark.operators.sampling import (
+    chunk_sliding,
+    weighted_priority_sample,
+)
+from java9_gc_log_parser_spark.operators.timeseries import gapfill_locf
+
+
+def _ts(sec: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(k, _ts(s), float(v)) for k, s, v in rows],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------- gapfill
+
+
+def test_gapfill_fills_gaps_with_locf_and_interp(spark):
+    # 1s buckets: observations at buckets 0 (v=10), 1 (v=16), 4 (v=40)
+    df = _series(spark, [(1, 0, 10.0), (1, 1, 16.0), (1, 4, 40.0)])
+    out = gapfill_locf(df, bucket_us=1_000_000, max_fill=8)
+    rows = {
+        (r["user_id"], r["bucket_ts"].second): r
+        for r in out.collect()
+    }
+    assert sorted(s for _, s in rows) == [0, 1, 2, 3, 4]
+    # observed rows: not filled, n_obs=1, locf == interp == value
+    for sec, v in [(0, 10.0), (1, 16.0), (4, 40.0)]:
+        r = rows[(1, sec)]
+        assert (r["filled"], r["n_obs"], r["v_locf"], r["v_interp"]) == (
+            False, 1, v, v,
+        )
+    # gap rows carry LOCF of bucket 1 and interpolate toward bucket 4
+    for sec, interp in [(2, 24.0), (3, 32.0)]:
+        r = rows[(1, sec)]
+        assert r["filled"] and r["n_obs"] == 0
+        assert r["v_locf"] == 16.0
+        assert r["v_interp"] == pytest.approx(interp)
+        assert not r["gap_truncated"]
+
+
+def test_gapfill_bucket_mean_is_exact_integer_contract(spark):
+    # two obs in one bucket: mean via floor(v*1000) sums = (10123+10456)/2000
+    df = _series(spark, [(7, 0, 10.1234), (7, 0, 10.4567)])
+    r = gapfill_locf(df, bucket_us=1_000_000).collect()[0]
+    assert r["n_obs"] == 2
+    assert r["v_locf"] == pytest.approx((10123 + 10456) / 1000.0 / 2.0)
+
+
+def test_gapfill_truncates_wide_gaps(spark):
+    df = _series(spark, [(1, 0, 1.0), (1, 20, 21.0)])
+    out = gapfill_locf(df, bucket_us=1_000_000, max_fill=3).collect()
+    secs = sorted(r["bucket_ts"].second for r in out)
+    assert secs == [0, 1, 2, 3, 20]  # 3 fills, then the gap stays open
+    first = next(r for r in out if r["bucket_ts"].second == 0)
+    assert first["gap_truncated"]
+    # interp still runs along the true slope (v + (nv-v)*step/gap)
+    r3 = next(r for r in out if r["bucket_ts"].second == 3)
+    assert r3["v_interp"] == pytest.approx(1.0 + 20.0 * 3 / 20)
+
+
+def test_gapfill_keys_are_independent_and_plan_has_two_exchanges(spark):
+    df = _series(spark, [(1, 0, 1.0), (1, 3, 4.0), (2, 5, 9.0)])
+    out = gapfill_locf(df, bucket_us=1_000_000)
+    plan = _formatted(out)  # pre-execution: AQE hasn't appended a final plan
+    assert plan.count("+- Exchange") == 2  # rollup agg + per-key window
+    per_key = {k: 0 for k in (1, 2)}
+    for r in out.collect():
+        per_key[r["user_id"]] += 1
+    assert per_key == {1: 4, 2: 1}  # key 2: single obs, no fills
+
+
+# ------------------------------------------------------------- chunking
+
+
+def _chunk_docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_chunk_sliding_matches_python_ground_truth(spark):
+    toks = [f"t{i}" for i in range(100)]
+    df = _chunk_docs(spark, [" ".join(toks)])
+    got = sorted(
+        map(tuple, chunk_sliding(df, window=64, stride=48).collect())
+    )
+    exp = []
+    for i, start in enumerate([0, 48]):
+        sl = toks[start:start + 64]
+        exp.append((
+            0, i, start, len(sl),
+            hashlib.md5(" ".join(sl).encode()).hexdigest(),
+        ))
+    assert got == sorted(exp)
+
+
+def test_chunk_sliding_covers_every_token(spark):
+    for n in (1, 5, 64, 65, 100, 200, 333):
+        df = _chunk_docs(spark, [" ".join(f"t{i}" for i in range(n))])
+        spans = [
+            (r["start_tok"], r["start_tok"] + r["n_tok"])
+            for r in chunk_sliding(df, window=64, stride=48).collect()
+        ]
+        covered = set()
+        for a, b in spans:
+            covered.update(range(a, b))
+        assert covered == set(range(n)), f"n={n}"
+
+
+def test_chunk_sliding_drops_empty_docs_and_is_map_only(spark):
+    df = _chunk_docs(spark, ["", "   ", "one two"])
+    out = chunk_sliding(df)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert "+- Exchange" not in _formatted(out)
+
+
+# ------------------------------------------------- weighted sampling
+
+
+def _py_weighted(ids_weights, k, salt="wps:v1"):
+    pri = []
+    for i, w in ids_weights:
+        u32 = int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 4294967296.0
+        pri.append((u / w, i, w))
+    pri.sort()
+    return [(i, w) for _, i, w in pri[:k]]
+
+
+def test_weighted_sample_matches_python_ground_truth(spark):
+    docs = [(i, " ".join(["w"] * (1 + i % 7))) for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["weight"])
+        for r in weighted_priority_sample(df, k=50).collect()
+    )
+    exp = sorted(_py_weighted([(i, 1 + i % 7) for i in range(300)], 50))
+    assert got == exp
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    docs = [(i, "w") for i in range(200)]
+    docs += [(200 + i, " ".join(["w"] * 50)) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = weighted_priority_sample(df, k=100).collect()
+    assert len(out) == 100
+    heavy = sum(1 for r in out if r["weight"] == 50)
+    assert heavy > 70  # 50x weight should dominate the sample
+
+
+def test_weighted_sample_plans_take_ordered_no_global_sort(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    plan = _formatted(weighted_priority_sample(df, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "+- Exchange" not in plan
