@@ -1671,6 +1671,19 @@ def q84_weighted_sample(spark, sf_dir):
     return weighted_priority_sample(_docs(spark, sf_dir), k=200)
 
 
+def q85_corpus_overlap(spark, sf_dir):
+    """Pairwise corpus-overlap matrix: minhash-estimated + exact Jaccard of
+    each source pair's trigram-shingle sets. The sketch leg is the 100-TB
+    path (mergeable per-source signatures, shuffle O(sources x k)); the
+    exact-gram self-join rides along as the audited accuracy check the
+    oracle re-verifies end to end."""
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        corpus_overlap_minhash,
+    )
+
+    return corpus_overlap_minhash(_docs(spark, sf_dir), k=64, shingle_n=3)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3578,6 +3591,48 @@ SELECT doc_id, weight, CAST(FLOOR(pri * 1e12) AS BIGINT) AS pri_e12
 FROM p ORDER BY pri, doc_id LIMIT 200
 """
 
+# q85: the oracle replays the full sketch closed-form (md5 slot hashes, min
+# per (source, slot), collision-count estimator) AND the exact distinct-gram
+# Jaccard it estimates — both from raw text, no hash seam.
+_ORACLES["q85_corpus_overlap"] = _DTOK + """
+, shd AS (
+  SELECT source,
+    unnest(CASE WHEN len(ltoks) >= 3
+      THEN list_transform(range(1, len(ltoks) - 1),
+                          i -> array_to_string(ltoks[i:i+2], ' '))
+      ELSE [array_to_string(ltoks, ' ')] END) AS gram
+  FROM dtok
+), sh AS (SELECT DISTINCT source, gram FROM shd),
+hx AS (
+  SELECT source, t.slot,
+         MIN(substr(md5(gram || ':' || CAST(t.slot AS VARCHAR)), 1, 16)) AS mh
+  FROM sh, generate_series(0, 63) AS t(slot)
+  GROUP BY 1, 2
+), pe AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM hx a JOIN hx b ON a.slot = b.slot AND a.source < b.source
+  GROUP BY 1, 2
+), cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+cm AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh x JOIN sh y ON x.gram = y.gram AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT pe.source_a, pe.source_b, ca.n AS n_grams_a, cb.n AS n_grams_b,
+       COALESCE(cm.n_common, CAST(0 AS BIGINT)) AS n_common, pe.n_match,
+       ROUND(CAST(pe.n_match AS DOUBLE) / 64.0, 6) AS est_jaccard,
+       ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / CAST(ca.n + cb.n - COALESCE(cm.n_common, 0) AS DOUBLE), 6)
+         AS exact_jaccard
+FROM pe
+JOIN cnt ca ON ca.source = pe.source_a
+JOIN cnt cb ON cb.source = pe.source_b
+LEFT JOIN cm ON cm.source_a = pe.source_a AND cm.source_b = pe.source_b
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3697,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_gapfill_locf": q82_gapfill_locf,
         "q83_chunk_sliding": q83_chunk_sliding,
         "q84_weighted_sample": q84_weighted_sample,
+        "q85_corpus_overlap": q85_corpus_overlap,
     }
 
 

@@ -1138,3 +1138,138 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def corpus_overlap_minhash(
+    docs: DataFrame,
+    k: int = 64,
+    shingle_n: int = 3,
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix: for every pair of sources, the
+    Jaccard similarity of their trigram-shingle SETS — estimated from a
+    k-slot minhash signature per source, with the exact Jaccard computed
+    alongside as the audit column (the judge of the sketch, not part of
+    the scale path).
+
+    Reference parity note: beyond-reference corpus-level operator — the
+    pre-ingestion question a training-data pipeline asks BEFORE doc-level
+    dedup (q18/q22/q78): which corpora substantially duplicate each other
+    and in what proportion, cheap enough to run on every candidate corpus.
+
+    Sketch mechanism: slot hash h_j(gram) = first 16 hex of
+    md5(gram || ':' || j); a source's signature slot j is the MIN over its
+    gram set. est_jaccard(a, b) = (#slots equal) / k — the classic minhash
+    collision estimator, here md5-derived so DuckDB replays it
+    bit-identically (same trade as the repo's other fully-oracled hash
+    ops; a production build would swap in xxhash64(gram, j) — ~10x cheaper
+    per gram — at the cost of the q22-style materialized-signature oracle
+    seam instead of a closed-form one).
+
+    Scale shape (100 TB):
+
+    * The signature is MERGEABLE: per-doc partial signatures fold k
+      elementwise string-mins in ONE traversal of the doc's shingle array
+      (``F.aggregate`` + ``zip_with``/``least``), and the per-source fold
+      is a plain map-combinable ``groupBy(source).agg(k mins)`` — each
+      partition contributes k values per source, so the shuffle is
+      O(sources x k) regardless of corpus size, and signatures from
+      separately-processed shards merge by taking mins again.
+    * The pair matrix is sources^2 x k on rows of k columns — driver-trivial
+      for any real source count; joined via broadcast.
+    * The EXACT leg (distinct-gram self-join) is the quadratic audit the
+      sketch exists to replace; it rides along here because at test scale
+      it is free and it turns the estimator's accuracy into an asserted,
+      hash-checked fact. At 100 TB run the sketch leg alone.
+
+    The ``.observe`` barrier after the per-doc signature pins the
+    64-reference ``_sig`` column (q41 lesson: CollapseProject re-inlines a
+    once-projected HOF column into every consumer, re-deriving the whole
+    shingle fold per slot reference).
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sh = with_shingles(docs, shingle_n)
+
+    def slot_hashes(s):
+        return F.array(
+            *[
+                F.substring(F.md5(F.concat(s, F.lit(f":{j}"))), 1, 16)
+                for j in range(k)
+            ]
+        )
+
+    neutral = F.array(*[F.lit("g") for _ in range(k)])  # > any md5 hex char
+    doc_sig = sh.select(
+        group_col,
+        F.aggregate(
+            "sh",
+            neutral,
+            lambda acc, s: F.zip_with(
+                acc, slot_hashes(s), lambda a, h: F.least(a, h)
+            ),
+        ).alias("_sig"),
+    ).observe(f"corpus_sig_obs_{next(_obs_ids)}", F.count(F.lit(1)).alias("rows"))
+    src_sig = doc_sig.groupBy(group_col).agg(
+        *[F.min(F.col("_sig")[j]).alias(f"_m{j}") for j in range(k)]
+    )
+
+    a, b = src_sig.alias("a"), src_sig.alias("b")
+    n_match = _reduce(
+        _add,
+        [
+            (F.col(f"a._m{j}") == F.col(f"b._m{j}")).cast("int")
+            for j in range(k)
+        ],
+    ).cast("long")
+    est = a.join(
+        F.broadcast(b), F.col(f"a.{group_col}") < F.col(f"b.{group_col}")
+    ).select(
+        F.col(f"a.{group_col}").alias("source_a"),
+        F.col(f"b.{group_col}").alias("source_b"),
+        n_match.alias("n_match"),
+    )
+
+    grams = sh.select(
+        F.col(group_col), F.explode("sh").alias("gram")
+    ).distinct()
+    cnt = grams.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    gx, gy = grams.alias("x"), grams.alias("y")
+    common = (
+        gx.join(gy, F.col("x.gram") == F.col("y.gram"))
+        .filter(F.col(f"x.{group_col}") < F.col(f"y.{group_col}"))
+        .groupBy(
+            F.col(f"x.{group_col}").alias("source_a"),
+            F.col(f"y.{group_col}").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    ca = cnt.withColumnRenamed(group_col, "source_a").withColumnRenamed("n", "n_grams_a")
+    cb = cnt.withColumnRenamed(group_col, "source_b").withColumnRenamed("n", "n_grams_b")
+    out = (
+        est.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .join(F.broadcast(common), ["source_a", "source_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)).cast("long"))
+    )
+    union = (
+        F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+    ).cast("double")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_grams_a",
+        "n_grams_b",
+        "n_common",
+        "n_match",
+        F.round(F.col("n_match").cast("double") / F.lit(float(k)), 6).alias(
+            "est_jaccard"
+        ),
+        F.round(F.col("n_common").cast("double") / union, 6).alias(
+            "exact_jaccard"
+        ),
+    )

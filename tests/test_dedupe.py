@@ -498,3 +498,87 @@ def test_containment_rare_blocking_drops_hot_gram_pairs(spark):
         [(i, "s", f"{boiler} unique{i} token{i} word{i}") for i in range(10)],
     )
     assert containment_pairs(docs, n=3, df_max=5, threshold=0.1).count() == 0
+
+
+# ------------------------------------------------ corpus overlap sketch
+
+
+def _py_corpus_grams(texts, n=3):
+    grams = set()
+    for t in texts:
+        toks = t.strip().lower().split()
+        if len(toks) >= n:
+            grams.update(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            )
+        else:
+            grams.add(" ".join(toks))
+    return grams
+
+
+def _py_signature(grams, k=64):
+    import hashlib
+
+    return [
+        min(
+            hashlib.md5(f"{g}:{j}".encode()).hexdigest()[:16] for g in grams
+        )
+        for j in range(k)
+    ]
+
+
+def test_corpus_overlap_matches_python_ground_truth(spark):
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        corpus_overlap_minhash,
+    )
+
+    corpora = {
+        "a": ["a b c d", "x y"],        # grams: {a b c, b c d, x y}
+        "b": ["a b c z"],               # grams: {a b c, b c z}
+        "c": ["p q r s t"],             # disjoint from both
+    }
+    rows = [
+        (i, src, text)
+        for i, (src, text) in enumerate(
+            (s, t) for s, ts in corpora.items() for t in ts
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in corpus_overlap_minhash(df, k=64).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    gsets = {s: _py_corpus_grams(ts) for s, ts in corpora.items()}
+    sigs = {s: _py_signature(g) for s, g in gsets.items()}
+    for (sa, sb), r in got.items():
+        ga, gb = gsets[sa], gsets[sb]
+        n_common = len(ga & gb)
+        assert r["n_grams_a"] == len(ga)
+        assert r["n_grams_b"] == len(gb)
+        assert r["n_common"] == n_common
+        exp_match = sum(
+            1 for x, y in zip(sigs[sa], sigs[sb]) if x == y
+        )
+        assert r["n_match"] == exp_match
+        assert r["est_jaccard"] == round(exp_match / 64.0, 6)
+        assert r["exact_jaccard"] == round(n_common / len(ga | gb), 6)
+    # the known overlap: {a b c} of 4 united grams
+    assert got[("a", "b")]["exact_jaccard"] == round(1 / 4, 6)
+    assert got[("a", "c")]["n_common"] == 0
+
+
+def test_corpus_overlap_signatures_merge_across_shards(spark):
+    """Mergeability: signatures over a corpus == elementwise min of the
+    signatures of any partition of it (the property that lets 100-TB
+    shards sketch independently)."""
+    full = _py_signature(_py_corpus_grams(["a b c d", "p q r"]))
+    part = [
+        min(x, y)
+        for x, y in zip(
+            _py_signature(_py_corpus_grams(["a b c d"])),
+            _py_signature(_py_corpus_grams(["p q r"])),
+        )
+    ]
+    assert full == part
