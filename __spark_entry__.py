@@ -1684,6 +1684,67 @@ def q85_corpus_overlap(spark, sf_dir):
     return corpus_overlap_minhash(_docs(spark, sf_dir), k=64, shingle_n=3)
 
 
+def q86_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustered write + two-dim
+    zone-map pruning proof — the multi-column complement of q77's
+    single-dim range clustering, i.e. the explicit engine-replayable form
+    of Delta/Iceberg `OPTIMIZE ZORDER BY (ts, user_id)`.
+
+    Events are scaled to exact 10-bit integer dims (pure min/max integer
+    arithmetic — `(v - min) * 1024 DIV (max - min + 1)` — so both engines
+    derive identical dims), bit-interleaved by ONE generated SQL expression
+    evaluated verbatim by Spark and DuckDB alike, clustered on the top 4
+    Morton bits (a 4x4 rectangle grid over (time, user) space), written
+    through the storage seam partitioned by cluster and z-sorted within
+    partitions, and audited FROM THE WRITTEN TABLE: per-cluster min/max on
+    BOTH dims plus `hit_a`/`hit_b` flags proving a probe range on EITHER
+    column alone prunes to a strict subset of clusters (here 4 + 4 of 16) —
+    the property no single-dim layout can give.
+    """
+    import shutil
+
+    from java9_gc_log_parser_spark.operators.layout import (
+        zorder_cluster,
+        zorder_zone_map,
+    )
+    from java9_gc_log_parser_spark.storage import (
+        TableRef,
+        read_table,
+        write_table,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    lo = ev.agg(
+        F.min("ts_us").alias("t_lo"), F.max("ts_us").alias("t_hi"),
+        F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+    )
+    dims = ev.crossJoin(F.broadcast(lo)).select(
+        "event_id",
+        F.expr("(ts_us - t_lo) * 1024 DIV (t_hi - t_lo + 1)").alias("da"),
+        F.expr("(user_id - u_lo) * 1024 DIV (u_hi - u_lo + 1)").alias("db"),
+    )
+    clustered = (
+        zorder_cluster(dims, "da", "db", bits=10, cluster_bits=4)
+        .repartition("cluster")
+        .sortWithinPartitions("zval")
+    )
+    root = _scratch(sf_dir, "q86")
+    shutil.rmtree(root, ignore_errors=True)
+    ref = TableRef(f"{root}/events_zordered", partition_by=("cluster",))
+    write_table(clustered, ref)
+    return zorder_zone_map(
+        read_table(spark, ref), "da", "db",
+        probe_a=(0, 255), probe_b=(0, 255),
+    ).select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_rows", "min_a", "max_a", "min_b", "max_b", "hit_a", "hit_b",
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3633,6 +3694,40 @@ JOIN cnt cb ON cb.source = pe.source_b
 LEFT JOIN cm ON cm.source_a = pe.source_a AND cm.source_b = pe.source_b
 """
 
+# q86: the oracle replays the exact-integer dim scaling, evaluates the SAME
+# generated Morton SQL expression Spark ran (shared string — bit-identical
+# by construction), re-derives the top-4-bit cluster ids, and recomputes the
+# two-dim zone map + probe-intersection flags from scratch.
+from java9_gc_log_parser_spark.operators.layout import morton_sql as _msql
+
+_ORACLES["q86_zorder_layout"] = f"""
+WITH ev AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(ts) AS ts_us
+  FROM events
+), mm AS (
+  SELECT MIN(ts_us) AS t_lo, MAX(ts_us) AS t_hi,
+         MIN(user_id) AS u_lo, MAX(user_id) AS u_hi
+  FROM ev
+), dims AS (
+  SELECT event_id,
+         (ts_us - t_lo) * 1024 // (t_hi - t_lo + 1) AS da,
+         (user_id - u_lo) * 1024 // (u_hi - u_lo + 1) AS db
+  FROM ev CROSS JOIN mm
+), z AS (
+  SELECT da, db,
+         CAST({_msql("da", "db", 10)} AS BIGINT) >> 16 AS cluster
+  FROM dims
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(da) AS BIGINT) AS min_a, CAST(MAX(da) AS BIGINT) AS max_a,
+       CAST(MIN(db) AS BIGINT) AS min_b, CAST(MAX(db) AS BIGINT) AS max_b,
+       (MIN(da) <= 255 AND MAX(da) >= 0) AS hit_a,
+       (MIN(db) <= 255 AND MAX(db) >= 0) AS hit_b
+FROM z GROUP BY 1
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3753,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_chunk_sliding": q83_chunk_sliding,
         "q84_weighted_sample": q84_weighted_sample,
         "q85_corpus_overlap": q85_corpus_overlap,
+        "q86_zorder_layout": q86_zorder_layout,
     }
 
 

@@ -61,3 +61,106 @@ def test_assignment_is_map_only_broadcast(spark):
     plan = range_cluster(df, "v", 4)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def _dims(spark, pairs):
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "id long, da long, db long",
+    )
+
+
+def test_morton_interleave_known_values(spark):
+    from java9_gc_log_parser_spark.operators.layout import zorder_cluster
+
+    # da=0b11, db=0b01 at bits=2 -> z = 1a 0b 1a 1b = 0b1011 = 11
+    got = {
+        (r.da, r.db): r.zval
+        for r in zorder_cluster(
+            _dims(spark, [(0, 0), (3, 1), (1, 3), (3, 3)]),
+            "da", "db", bits=2, cluster_bits=1,
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (3, 1): 11, (1, 3): 7, (3, 3): 15}
+
+
+def test_zorder_cluster_is_rectangle_grid(spark):
+    from java9_gc_log_parser_spark.operators.layout import zorder_cluster
+
+    # full 8x8 grid at bits=3, cluster_bits=2 -> each cluster must be one
+    # axis-aligned 4x4 rectangle (the property that makes two-dim zone-map
+    # pruning sound)
+    grid = _dims(spark, [(a, b) for a in range(8) for b in range(8)])
+    rows = zorder_cluster(grid, "da", "db", bits=3, cluster_bits=2).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append((r.da, r.db))
+    assert len(by_cluster) == 4
+    for pts in by_cluster.values():
+        las = {a for a, _ in pts}
+        lbs = {b for _, b in pts}
+        assert len(pts) == 16
+        assert las in ({0, 1, 2, 3}, {4, 5, 6, 7})
+        assert lbs in ({0, 1, 2, 3}, {4, 5, 6, 7})
+
+
+def test_zorder_zone_map_prunes_both_dims(spark):
+    from java9_gc_log_parser_spark.operators.layout import (
+        zorder_cluster,
+        zorder_zone_map,
+    )
+
+    grid = _dims(
+        spark, [(a, b) for a in range(16) for b in range(16)]
+    )
+    clustered = zorder_cluster(grid, "da", "db", bits=4, cluster_bits=4)
+    zm = zorder_zone_map(
+        clustered, "da", "db", probe_a=(0, 3), probe_b=(0, 3)
+    ).collect()
+    assert len(zm) == 16
+    # a probe on EITHER single dim touches exactly 4 of 16 clusters
+    assert sum(r.hit_a for r in zm) == 4
+    assert sum(r.hit_b for r in zm) == 4
+    # and the conjunction touches exactly 1
+    assert sum(r.hit_a and r.hit_b for r in zm) == 1
+
+
+def test_morton_sql_shared_text_matches_duckdb(spark):
+    import duckdb
+
+    from java9_gc_log_parser_spark.operators.layout import morton_sql
+
+    expr = morton_sql("da", "db", 10)
+    pairs = [(a * 97 % 1024, a * 31 % 1024) for a in range(257)]
+    got_spark = {
+        (r.da, r.db): r.z
+        for r in _dims(spark, pairs)
+        .select("da", "db", F.expr(expr).cast("long").alias("z"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (da BIGINT, db BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    got_duck = {
+        (a, b): z
+        for a, b, z in con.execute(
+            f"SELECT da, db, {expr} FROM t"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+
+
+def test_zorder_validates_params(spark):
+    from java9_gc_log_parser_spark.operators.layout import (
+        morton_sql,
+        zorder_cluster,
+    )
+
+    with pytest.raises(ValueError):
+        morton_sql("a", "b", 0)
+    with pytest.raises(ValueError):
+        zorder_cluster(_dims(spark, [(0, 0)]), "da", "db", bits=4,
+                       cluster_bits=9)
