@@ -1745,6 +1745,20 @@ def q86_zorder_layout(spark, sf_dir):
     )
 
 
+def q87_inverted_index(spark, sf_dir):
+    """Distributed inverted-index build over the documents corpus: per
+    term with df >= 2, the document frequency, total term frequency, and
+    the first-16-doc_ids posting-list head. Duplicate occurrences collapse
+    per (term, doc) before any per-term work, the posting head is capped
+    via WindowGroupLimit BEFORE collection (hot stopword postings never
+    materialize in one task), and df/tf stats flow through a
+    map-combinable hash agg that never builds a list. The oracle rebuilds
+    the whole index from raw text."""
+    from java9_gc_log_parser_spark.operators.indexing import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), df_min=2, postings_cap=16)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3728,6 +3742,27 @@ SELECT CAST(cluster AS INT) AS cluster,
 FROM z GROUP BY 1
 """
 
+# q87: the oracle rebuilds the index from raw text — per-(term, doc) tf,
+# per-term df/tf, and the ascending-doc_id posting head, df >= 2.
+_ORACLES["q87_inverted_index"] = _DTOK + """
+, tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM dtok
+), pd AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf_doc
+  FROM tok GROUP BY 1, 2
+), st AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf_doc) AS BIGINT) AS tf
+  FROM pd GROUP BY 1
+), hd AS (
+  SELECT term, (list(doc_id ORDER BY doc_id))[1:16] AS postings
+  FROM pd GROUP BY 1
+)
+SELECT st.term, st.df, st.tf, hd.postings
+FROM st JOIN hd USING (term)
+WHERE st.df >= 2
+"""
+
 # q58: multiset trigram shingles (NOT distinct — occurrence counts are the
 # metric), duplicated iff the gram appears in >= 2 distinct docs.
 _ORACLES["q58_dup_ngram_gate"] = _DTOK + """
@@ -3849,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_weighted_sample": q84_weighted_sample,
         "q85_corpus_overlap": q85_corpus_overlap,
         "q86_zorder_layout": q86_zorder_layout,
+        "q87_inverted_index": q87_inverted_index,
     }
 
 
