@@ -1759,6 +1759,27 @@ def q87_inverted_index(spark, sf_dir):
     return inverted_index(_docs(spark, sf_dir), df_min=2, postings_cap=16)
 
 
+def q88_funnel_conversion(spark, sf_dir):
+    """Ordered-sequence funnel (signup -> view -> click -> purchase within a
+    14-day horizon): ONE shuffle — every stage is a window pass over the
+    same (user, ts, event_id) sort, the per-user flags reuse the same
+    partitioning, and the k-row rollup unpivots map-only. The naive k-way
+    self-join shape (shuffles the corpus once per step) never appears."""
+    from java9_gc_log_parser_spark.operators.funnel import funnel_conversion
+
+    return funnel_conversion(_events(spark, sf_dir))
+
+
+def q89_cohort_retention(spark, sf_dir):
+    """Cohort-retention matrix: users bucketed by first-seen week, distinct
+    activity counted per (cohort, age). Two hash aggs + one join all keyed
+    on user_id (one logical shuffle of the event table); the retention
+    denominator is a window over the already-tiny matrix."""
+    from java9_gc_log_parser_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3791,6 +3812,87 @@ GROUP BY dg.doc_id
 """
 
 
+# q88: the oracle replays the exact window semantics — "after" = strictly
+# earlier in the (ts, event_id) total order, horizon anchored on the
+# earliest preceding signup; per-stage reach is the min qualifying event.
+_ORACLES["q88_funnel_conversion"] = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets, event_id AS o
+  FROM events
+), s1 AS (
+  SELECT *, MIN(CASE WHEN t = 'signup' THEN ets END) OVER
+    (PARTITION BY u ORDER BY ets, o
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS r1
+  FROM e
+), s2 AS (
+  SELECT *, CASE WHEN t = 'view' AND r1 IS NOT NULL
+                  AND ets <= r1 + 1209600000000 THEN ets END AS c2
+  FROM s1
+), s2w AS (
+  SELECT *, MIN(c2) OVER (PARTITION BY u ORDER BY ets, o
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS r2 FROM s2
+), s3 AS (
+  SELECT *, CASE WHEN t = 'click' AND r2 IS NOT NULL
+                  AND ets <= r1 + 1209600000000 THEN ets END AS c3 FROM s2w
+), s3w AS (
+  SELECT *, MIN(c3) OVER (PARTITION BY u ORDER BY ets, o
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS r3 FROM s3
+), s4 AS (
+  SELECT *, CASE WHEN t = 'purchase' AND r3 IS NOT NULL
+                  AND ets <= r1 + 1209600000000 THEN ets END AS c4 FROM s3w
+), pu AS (
+  SELECT u,
+    MAX(CASE WHEN t = 'signup' THEN 1 ELSE 0 END) AS s1f,
+    MAX(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS s2f,
+    MAX(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS s3f,
+    MAX(CASE WHEN c4 IS NOT NULL THEN 1 ELSE 0 END) AS s4f
+  FROM s4 GROUP BY u
+), tot AS (
+  SELECT CAST(SUM(s1f) AS BIGINT) AS n1, CAST(SUM(s2f) AS BIGINT) AS n2,
+         CAST(SUM(s3f) AS BIGINT) AS n3, CAST(SUM(s4f) AS BIGINT) AS n4
+  FROM pu
+)
+SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
+       CAST(NULL AS DOUBLE) AS conv_from_prev,
+       ROUND(CASE WHEN n1 > 0 THEN n1::DOUBLE / n1::DOUBLE END, 6)
+         AS conv_from_first
+FROM tot
+UNION ALL
+SELECT 2, 'view', n2,
+       ROUND(CASE WHEN n1 > 0 THEN n2::DOUBLE / n1::DOUBLE END, 6),
+       ROUND(CASE WHEN n1 > 0 THEN n2::DOUBLE / n1::DOUBLE END, 6) FROM tot
+UNION ALL
+SELECT 3, 'click', n3,
+       ROUND(CASE WHEN n2 > 0 THEN n3::DOUBLE / n2::DOUBLE END, 6),
+       ROUND(CASE WHEN n1 > 0 THEN n3::DOUBLE / n1::DOUBLE END, 6) FROM tot
+UNION ALL
+SELECT 4, 'purchase', n4,
+       ROUND(CASE WHEN n3 > 0 THEN n4::DOUBLE / n3::DOUBLE END, 6),
+       ROUND(CASE WHEN n1 > 0 THEN n4::DOUBLE / n1::DOUBLE END, 6) FROM tot
+"""
+
+_ORACLES["q89_cohort_retention"] = """
+WITH b AS (
+  SELECT user_id AS u, epoch_us(ts) // 604800000000 AS bk FROM events
+), a AS (SELECT DISTINCT u, bk FROM b),
+f AS (SELECT u, MIN(bk) AS cohort FROM b GROUP BY u),
+m AS (
+  SELECT cohort AS cohort_bucket, CAST(bk - cohort AS INT) AS age,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM a JOIN f USING (u) GROUP BY 1, 2
+), d AS (
+  SELECT *, MAX(CASE WHEN age = 0 THEN n_users END)
+      OVER (PARTITION BY cohort_bucket) AS cohort_size
+  FROM m
+)
+SELECT cohort_bucket,
+       make_timestamp(cohort_bucket * 604800000000) AS cohort_ts,
+       age, n_users, cohort_size,
+       ROUND(n_users::DOUBLE / cohort_size::DOUBLE, 6) AS retention
+FROM d
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -3885,6 +3987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_corpus_overlap": q85_corpus_overlap,
         "q86_zorder_layout": q86_zorder_layout,
         "q87_inverted_index": q87_inverted_index,
+        "q88_funnel_conversion": q88_funnel_conversion,
+        "q89_cohort_retention": q89_cohort_retention,
     }
 
 
