@@ -1780,6 +1780,30 @@ def q89_cohort_retention(spark, sf_dir):
     return cohort_retention(_events(spark, sf_dir))
 
 
+def q90_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension build from the event log: per-user run-length
+    compression of consecutive event_type values into half-open validity
+    intervals with is_current flags. One shuffle — change-flag window,
+    version running sum, run agg, and valid_to lead all share the user_id
+    partitioning."""
+    from java9_gc_log_parser_spark.operators.cdc import scd2_build
+
+    return scd2_build(_events(spark, sf_dir))
+
+
+def q91_json_payload_audit(spark, sf_dir):
+    """Semi-structured payload audit: JSON key-signature drift + typed
+    field extraction coverage per (event_type, key_sig, week). Map-only
+    JVM JSON functions (codegen, no Python) into one map-combinable hash
+    agg; try-cast semantics so malformed values count as misses instead of
+    fail-stopping ANSI mode."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        json_payload_audit,
+    )
+
+    return json_payload_audit(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3893,6 +3917,54 @@ FROM d
 """
 
 
+# q90: MIN(event_type) inside the run replaces Spark's first() — the value
+# is constant within a run, so the aggregates agree.
+_ORACLES["q90_scd2_history"] = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(event_type) OVER w IS NULL
+          OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM o
+), runs AS (
+  SELECT user_id, ver, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM v GROUP BY 1, 2
+)
+SELECT user_id, CAST(ver AS INT) AS version, event_type, valid_from,
+       LEAD(valid_from) OVER wv AS valid_to,
+       LEAD(valid_from) OVER wv IS NULL AS is_current,
+       n_events
+FROM runs
+WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+"""
+
+_ORACLES["q91_json_payload_audit"] = """
+WITH b AS (
+  SELECT event_type,
+    COALESCE(array_to_string(list_sort(json_keys(props)), ','), '<invalid>')
+      AS key_sig,
+    epoch_us(ts) // 604800000000 AS bk,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, key_sig,
+       make_timestamp(bk * 604800000000) AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(v) AS BIGINT) AS n_parsed,
+       ROUND(COUNT(v)::DOUBLE / COUNT(*)::DOUBLE, 6) AS parse_rate,
+       MIN(v) AS v_min, MAX(v) AS v_max,
+       CAST(SUM(v) AS BIGINT) AS v_sum,
+       ROUND(CASE WHEN COUNT(v) > 0
+             THEN SUM(v)::DOUBLE / COUNT(v)::DOUBLE END, 6) AS v_mean
+FROM b GROUP BY 1, 2, 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -3989,6 +4061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_inverted_index": q87_inverted_index,
         "q88_funnel_conversion": q88_funnel_conversion,
         "q89_cohort_retention": q89_cohort_retention,
+        "q90_scd2_history": q90_scd2_history,
+        "q91_json_payload_audit": q91_json_payload_audit,
     }
 
 

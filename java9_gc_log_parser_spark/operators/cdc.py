@@ -25,10 +25,15 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["incremental_refresh", "snapshot_diff", "synth_mutated_snapshot"]
+__all__ = [
+    "incremental_refresh",
+    "scd2_build",
+    "snapshot_diff",
+    "synth_mutated_snapshot",
+]
 
 
 def snapshot_diff(
@@ -95,6 +100,62 @@ def synth_mutated_snapshot(docs: DataFrame, salt: str = "snap2") -> DataFrame:
         .drop("_h")
     )
     return kept.unionByName(added)
+
+
+def scd2_build(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from an event log: per
+    ``key``, run-length-compress consecutive identical ``attr`` values (in
+    the strict ``(ts, order_col)`` total order) into validity intervals.
+
+    Output, one row per (key, version):
+    ``(key, version, attr, valid_from, valid_to, is_current, n_events)`` —
+    ``valid_to`` is the NEXT version's ``valid_from`` (half-open interval,
+    NULL on the current row). This is the standard warehouse dimension-build
+    the reference's single-process model folds into its running GcState
+    (GcState.scala:21-47 keeps only the LATEST state; SCD2 keeps the full
+    lineage so any past timestamp can be joined against — the batch
+    complement of q62's as-of join, which CONSUMES such intervals).
+
+    Scale notes (100 TB): ONE shuffle — the change-flag window, the
+    version running-sum window, the (key, version) agg, and the valid_to
+    lead window all share the ``key`` hash partitioning and (where sorted)
+    the same sort order, so Catalyst plans a single Exchange. Window frames
+    are O(1)-state running aggregates; no per-key buffering. A hot key
+    degrades to one long sorted run, not a blowup.
+    """
+    w_ord = Window.partitionBy(key).orderBy(ts, order_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = events.select(
+        key, attr, ts, order_col
+    ).withColumn(
+        "_chg",
+        F.when(
+            F.lag(F.col(attr)).over(w_ord).isNull()
+            | (F.lag(F.col(attr)).over(w_ord) != F.col(attr)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_ver", F.sum("_chg").over(w_run))
+    runs = flagged.groupBy(key, "_ver").agg(
+        F.first(F.col(attr)).alias(attr),  # constant within the run
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_next = Window.partitionBy(key).orderBy("_ver")
+    return runs.select(
+        key,
+        F.col("_ver").cast("int").alias("version"),
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+        F.lead("valid_from").over(w_next).isNull().alias("is_current"),
+        "n_events",
+    )
 
 
 def incremental_refresh(

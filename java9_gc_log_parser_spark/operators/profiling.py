@@ -34,7 +34,86 @@ from pyspark.sql import functions as F
 
 from .text_analysis import tokens_col
 
-__all__ = ["key_skew_report", "length_outlier_gate"]
+__all__ = ["json_payload_audit", "key_skew_report", "length_outlier_gate"]
+
+_US_PER_DAY = 86_400_000_000
+
+
+def json_payload_audit(
+    events: DataFrame,
+    bucket_days: int = 7,
+    field: str = "k",
+    props_col: str = "props",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured payload audit: parse the JSON ``props_col``, extract
+    one typed field, and report per (event_type, key-signature, time bucket)
+    the parse coverage and the field's exact-integer stats — the drift gate
+    a log pipeline runs on free-form telemetry payloads before trusting a
+    downstream extraction (the reference's analogue is its closed tag/level
+    vocabulary check, GcLineParser.scala's alternation order: anything
+    outside the expected shape must surface as a counted miss, not vanish).
+
+    ``key_sig`` is the sorted comma-joined JSON key set (schema drift shows
+    up as a NEW key_sig row, never as silently ignored fields); extraction
+    uses try-cast semantics so a malformed value degrades to a counted
+    parse miss under ANSI mode instead of fail-stopping the job.
+
+    Output: ``(event_type, key_sig, bucket_ts, n, n_parsed, parse_rate,
+    v_min, v_max, v_sum, v_mean)`` — min/max/sum are exact BIGINTs, the two
+    ratios are 6-dp-rounded doubles (NULL mean when nothing parsed).
+
+    Scale notes (100 TB): map-only JSON work (JVM ``get_json_object`` /
+    ``json_object_keys`` inside codegen — no Python) feeding one
+    map-combinable hash agg; output cardinality is (types x signatures x
+    buckets), tiny. Hot payload shapes pre-combine map-side.
+    """
+    bucket_us = int(bucket_days) * _US_PER_DAY
+    b = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(bucket_us)
+    ).cast("long")
+    v = F.get_json_object(F.col(props_col), f"$.{field}").try_cast("long")
+    key_sig = F.array_join(
+        F.array_sort(F.json_object_keys(F.col(props_col))), ","
+    )
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.coalesce(key_sig, F.lit("<invalid>")).alias("key_sig"),
+        b.alias("_b"),
+        v.alias("_v"),
+    )
+    return (
+        base.groupBy("event_type", "key_sig", "_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("_v").cast("long").alias("n_parsed"),
+            F.min("_v").alias("v_min"),
+            F.max("_v").alias("v_max"),
+            F.sum("_v").alias("v_sum"),
+        )
+        .select(
+            "event_type",
+            "key_sig",
+            F.timestamp_micros(F.col("_b") * F.lit(bucket_us))
+            .cast("timestamp_ntz")
+            .alias("bucket_ts"),
+            "n",
+            "n_parsed",
+            F.round(
+                F.col("n_parsed").cast("double") / F.col("n").cast("double"), 6
+            ).alias("parse_rate"),
+            "v_min",
+            "v_max",
+            "v_sum",
+            F.round(
+                F.when(
+                    F.col("n_parsed") > 0,
+                    F.col("v_sum").cast("double") / F.col("n_parsed").cast("double"),
+                ),
+                6,
+            ).alias("v_mean"),
+        )
+    )
 
 
 def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:

@@ -100,3 +100,58 @@ def test_incremental_refresh_equals_full_recompute(spark):
     )
     want = quality_score(new)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_scd2_build_runs_and_intervals(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.cdc import scd2_build
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, user, typ):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user, typ)
+
+    df = spark.createDataFrame(
+        [
+            # u1: A A B A -> 3 versions (A x2, B, A)
+            ev(1, 0, 1, "A"),
+            ev(2, 10, 1, "A"),
+            ev(3, 20, 1, "B"),
+            ev(4, 30, 1, "A"),
+            # u2: single event -> one current version
+            ev(5, 0, 2, "C"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["user_id"], r["version"]): r
+        for r in scd2_build(df).collect()
+    }
+    assert len(out) == 4
+    r11, r12, r13 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (r11["event_type"], r11["n_events"]) == ("A", 2)
+    assert (r12["event_type"], r12["n_events"]) == ("B", 1)
+    assert (r13["event_type"], r13["is_current"]) == ("A", True)
+    # half-open chaining: each valid_to equals the next valid_from
+    assert r11["valid_to"] == r12["valid_from"]
+    assert r12["valid_to"] == r13["valid_from"]
+    assert r13["valid_to"] is None
+    assert not r11["is_current"] and not r12["is_current"]
+    u2 = out[(2, 1)]
+    assert u2["is_current"] and u2["n_events"] == 1
+
+
+def test_scd2_build_equal_ts_ordered_by_event_id(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.cdc import scd2_build
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # same timestamp: order by event_id decides the run layout (B then A)
+    df = spark.createDataFrame(
+        [(2, t0, 1, "A"), (1, t0, 1, "B")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    rows = sorted(scd2_build(df).collect(), key=lambda r: r["version"])
+    assert [r["event_type"] for r in rows] == ["B", "A"]

@@ -36,3 +36,33 @@ def test_length_outlier_gate_per_group_bands(spark):
     )
     assert out[1]["lo"] == 1.45 and out[1]["hi"] == 9.55
     assert all(out[100 + i]["keep"] for i in range(4))
+
+
+def test_json_payload_audit_parse_and_drift(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.profiling import (
+        json_payload_audit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            # normal shape
+            (1, t0, 1, "click", 0.0, '{"k": 10}'),
+            (2, t0, 1, "click", 0.0, '{"k": 20}'),
+            # schema drift: extra key -> separate key_sig row
+            (3, t0, 1, "click", 0.0, '{"k": 5, "x": 1}'),
+            # malformed value: counted as a parse miss, not a job failure
+            (4, t0, 1, "click", 0.0, '{"k": "oops"}'),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = {r["key_sig"]: r for r in json_payload_audit(df).collect()}
+    k = rows["k"]
+    assert (k["n"], k["n_parsed"]) == (3, 2)
+    assert k["v_sum"] == 30 and k["v_mean"] == 15.0
+    assert abs(k["parse_rate"] - 0.666667) < 1e-9
+    kx = rows["k,x"]
+    assert (kx["n"], kx["n_parsed"], kx["v_sum"]) == (1, 1, 5)
