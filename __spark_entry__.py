@@ -1804,6 +1804,30 @@ def q91_json_payload_audit(spark, sf_dir):
     return json_payload_audit(_events(spark, sf_dir))
 
 
+def q92_moving_window_stats(spark, sf_dir):
+    """Time-correct trailing 7-day moving average per event_type: RANGE
+    frame over the integer bucket index so dark days count as empty (a
+    ROWS frame would stretch the window across gaps). Map-combinable
+    rollup first, window pass only over the tiny rollup."""
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        moving_window_stats,
+    )
+
+    return moving_window_stats(_events(spark, sf_dir))
+
+
+def q93_sliding_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct users (WAU): COUNT DISTINCT is not
+    subtractable, so the deduplicated (user, day) pair set — never the raw
+    stream — fans out into its bounded window_n target buckets and is
+    re-counted distinct per bucket."""
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        sliding_distinct_users,
+    )
+
+    return sliding_distinct_users(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3965,6 +3989,38 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
+_ORACLES["q92_moving_window_stats"] = """
+WITH r AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS vmil
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, make_timestamp(b * 86400000000) AS bucket_ts, n,
+  ROUND(vmil::DOUBLE / 1000.0 / n::DOUBLE, 6) AS v_avg,
+  CAST(SUM(n) OVER w AS BIGINT) AS mov_n,
+  ROUND((SUM(vmil) OVER w)::DOUBLE / 1000.0
+        / (SUM(n) OVER w)::DOUBLE, 6) AS mov_avg
+FROM r
+WINDOW w AS (PARTITION BY event_type ORDER BY b
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+_ORACLES["q93_sliding_distinct_users"] = """
+WITH p AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS b
+  FROM events
+), f AS (
+  SELECT u, b, unnest(generate_series(b, b + 6)) AS t FROM p
+)
+SELECT make_timestamp(t * 86400000000) AS bucket_ts,
+  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_user_buckets,
+  MAX(CASE WHEN b = t THEN 1 ELSE 0 END) = 1 AS has_activity
+FROM f GROUP BY t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -4063,6 +4119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_cohort_retention": q89_cohort_retention,
         "q90_scd2_history": q90_scd2_history,
         "q91_json_payload_audit": q91_json_payload_audit,
+        "q92_moving_window_stats": q92_moving_window_stats,
+        "q93_sliding_distinct_users": q93_sliding_distinct_users,
     }
 
 

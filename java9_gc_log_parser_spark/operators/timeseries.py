@@ -117,3 +117,127 @@ def gapfill_locf(
             F.round(interp, 6).alias("v_interp"),
         )
     )
+
+
+def moving_window_stats(
+    events: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    bucket_us: int = 86_400_000_000,
+    trailing: int = 7,
+) -> DataFrame:
+    """Time-correct trailing moving average per key: bucket the stream,
+    then a RANGE-frame window over the integer bucket index so GAPS count
+    as empty buckets (a ROWS frame would silently stretch the window over
+    dark periods — the classic moving-average bug).
+
+    Output, one row per observed (key, bucket):
+    ``(<key>, bucket_ts, n, v_avg, mov_n, mov_avg)`` — ``mov_*`` cover the
+    trailing ``trailing``-bucket window ENDING at the bucket. Means derive
+    from order-independent exact-integer millisums (same float contract as
+    :func:`gapfill_locf`), rounded to 6 dp at the boundary.
+
+    Scale notes (100 TB): stage 1 is a map-combinable hash agg (events
+    compress to one row per (key, bucket) before the shuffle); stage 2 is
+    one window pass over the tiny rollup with an O(trailing) RANGE frame.
+    The raw stream is never window-scanned.
+    """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    bucket = (
+        F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(bucket_us)
+    ).cast("long")
+    rolled = (
+        events.filter(F.col(value).isNotNull())
+        .groupBy(F.col(key), bucket.alias("_mw_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col(value) * 1000).cast("long")).alias("_mw_vmil"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_mw_b")
+        .rangeBetween(-(trailing - 1), 0)
+    )
+    return rolled.select(
+        key,
+        F.timestamp_micros(F.col("_mw_b") * F.lit(bucket_us))
+        .cast("timestamp_ntz")
+        .alias("bucket_ts"),
+        "n",
+        F.round(
+            F.col("_mw_vmil").cast("double") / F.lit(1000.0)
+            / F.col("n").cast("double"),
+            6,
+        ).alias("v_avg"),
+        F.sum("n").over(w).cast("long").alias("mov_n"),
+        F.round(
+            F.sum("_mw_vmil").over(w).cast("double") / F.lit(1000.0)
+            / F.sum("n").over(w).cast("double"),
+            6,
+        ).alias("mov_avg"),
+    )
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    window_n: int = 7,
+) -> DataFrame:
+    """Trailing ``window_n``-bucket DISTINCT-user count per bucket (rolling
+    WAU/MAU): sliding distinct cannot ride a window frame (COUNT DISTINCT
+    isn't subtractable), so each distinct (user, bucket) pair is exploded
+    into the ``window_n`` buckets it contributes to — a BOUNDED fan-out of
+    the deduplicated pair set, never of the raw stream — and re-counted
+    distinct per target bucket.
+
+    Output: ``(bucket_ts, n_users, n_user_buckets, has_activity)`` — one
+    row per target bucket with >=1 contribution (so up to ``window_n - 1``
+    trailing buckets past the last active one), ``has_activity`` false on
+    those ghost tails. ``n_user_buckets`` counts (user, bucket) activity
+    pairs in the window (engagement mass); ``n_users`` deduplicates.
+
+    Scale notes (100 TB): dedup agg compresses the stream to (user, bucket)
+    pairs map-side; the explode multiplies PAIRS by window_n (bounded,
+    e.g. 7), and the final distinct agg is Spark's standard two-phase
+    partial-distinct expansion. No self-join of bucket grids, no holistic
+    buffering.
+    """
+    if window_n < 1:
+        raise ValueError(f"window_n must be >= 1, got {window_n}")
+    bucket = (
+        F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(bucket_us)
+    ).cast("long")
+    pairs = (
+        events.select(F.col(user_col).alias("_u"), bucket.alias("_b"))
+        .groupBy("_u", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    fanned = pairs.select(
+        "_u",
+        "_b",
+        F.explode(
+            F.sequence(F.col("_b"), F.col("_b") + F.lit(window_n - 1))
+        ).alias("_t"),
+    )
+    return (
+        fanned.groupBy("_t")
+        .agg(
+            F.countDistinct("_u").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_user_buckets"),
+            F.max((F.col("_b") == F.col("_t")).cast("int")).alias("_act"),
+        )
+        .select(
+            F.timestamp_micros(F.col("_t") * F.lit(bucket_us))
+            .cast("timestamp_ntz")
+            .alias("bucket_ts"),
+            "n_users",
+            "n_user_buckets",
+            (F.col("_act") == 1).alias("has_activity"),
+        )
+    )

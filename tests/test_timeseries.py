@@ -178,3 +178,64 @@ def test_weighted_sample_plans_take_ordered_no_global_sort(spark):
     plan = _formatted(weighted_priority_sample(df, k=10))
     assert "TakeOrderedAndProject" in plan
     assert "+- Exchange" not in plan
+
+
+def test_moving_window_range_frame_skips_gaps(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        moving_window_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    day = 86_400_000_000
+
+    def ev(eid, d, v):
+        return (eid, t0 + datetime.timedelta(days=d), 1, "click", v, "{}")
+
+    # days 0, 1, then a gap, then day 5
+    df = spark.createDataFrame(
+        [ev(1, 0, 1.0), ev(2, 1, 3.0), ev(3, 5, 10.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = moving_window_stats(df, bucket_us=day, trailing=3)
+    rows = sorted(out.collect(), key=lambda r: r["bucket_ts"])
+    assert [r["n"] for r in rows] == [1, 1, 1]
+    # day 1: window covers days -1..1 -> both obs
+    assert rows[1]["mov_n"] == 2 and rows[1]["mov_avg"] == 2.0
+    # day 5: window covers days 3..5 -> ONLY day 5 (RANGE frame skips the
+    # gap; a ROWS frame would wrongly include days 0-1)
+    assert rows[2]["mov_n"] == 1 and rows[2]["mov_avg"] == 10.0
+
+
+def test_sliding_distinct_users_dedups_across_window(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        sliding_distinct_users,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    day = 86_400_000_000
+
+    def ev(eid, d, u):
+        return (eid, t0 + datetime.timedelta(days=d), u, "view", 0.0, "{}")
+
+    # u1 active days 0 and 1 (must count ONCE in windows covering both);
+    # u2 active day 1; two events same user+day collapse
+    df = spark.createDataFrame(
+        [ev(1, 0, 1), ev(2, 1, 1), ev(3, 1, 2), ev(4, 1, 2)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = sliding_distinct_users(df, bucket_us=day, window_n=3)
+    rows = {r["bucket_ts"].day: r for r in out.collect()}
+    # day 1 window covers days -1..1: users {1, 2}, pairs {(1,0),(1,1),(2,1)}
+    assert rows[2]["n_users"] == 2 and rows[2]["n_user_buckets"] == 3
+    assert rows[2]["has_activity"]
+    # ghost tail: day 3 window covers days 1..3 -> still sees both users,
+    # but the bucket itself had no events
+    assert rows[4]["n_users"] == 2 and not rows[4]["has_activity"]
+    # fan-out bound: window_n=3 over 3 distinct pairs -> <= 9 target rows
+    assert len(rows) <= 9
