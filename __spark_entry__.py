@@ -1828,6 +1828,38 @@ def q93_sliding_distinct_users(spark, sf_dir):
     return sliding_distinct_users(_events(spark, sf_dir))
 
 
+def q94_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner: md5-derived micro-file metadata per
+    source, packed into sequential >= target bins via an exclusive-prefix-
+    sum window (the Iceberg binpack / Spark scan-packing rule). Planning
+    touches only metadata — at 100 TB that's ~10^6 rows, not the data."""
+    from java9_gc_log_parser_spark.operators.layout import (
+        compaction_plan,
+        micro_file_stats,
+    )
+
+    stats = micro_file_stats(_docs(spark, sf_dir), files_per_source=32)
+    return compaction_plan(stats, target_bytes=2048)
+
+
+def q95_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (5 power iterations, damping 0.85)
+    over a deterministic synthetic citation multigraph: ranks live in
+    10^12 micro-units so every step is exact BIGINT arithmetic — the
+    oracle unrolls the identical iterations and matches bit-for-bit. One
+    map-combinable shuffle per iteration; the edge set is persisted so
+    iterating never re-derives it."""
+    from java9_gc_log_parser_spark.operators.graph import (
+        pagerank_fixed,
+        synth_citation_edges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = synth_citation_edges(docs, n_nodes=n, k=2).persist()
+    return pagerank_fixed(docs.select("doc_id"), edges, n_nodes=n, outdeg=2)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4021,6 +4053,62 @@ FROM f GROUP BY t
 """
 
 
+_ORACLES["q94_compaction_plan"] = """
+WITH fs AS (
+  SELECT source,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':file:v1'),
+               1, 4)) AS BIGINT) % 32 AS INT) AS file_id,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+), p AS (
+  SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM fs
+), b AS (SELECT *, CAST(prefix // 2048 AS INT) AS bin FROM p)
+SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+       SUM(bytes) > 4096 AS over_target
+FROM b GROUP BY 1, 2
+"""
+
+# q95: the oracle unrolls the identical fixed-point iterations — pure
+# BIGINT arithmetic, so the match is bit-for-bit, not approximate.
+_PR_EDGE_LEGS = "\nUNION ALL\n".join(
+    f"""SELECT doc_id AS src,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':edge:{j}'),
+          1, 8)) AS BIGINT) % (SELECT c FROM nn) AS dst
+  FROM documents"""
+    for j in range(2)
+)
+_PR_ITERS = "".join(
+    f""", r{k} AS (
+  SELECT d.doc_id AS id,
+    (15 * (1000000000000 // (SELECT c FROM nn))
+     + 85 * COALESCE(s.s, 0)) // 100 AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r // 2) AS s
+    FROM e JOIN r{k - 1} p ON e.src = p.id GROUP BY e.dst
+  ) s ON d.doc_id = s.id
+)"""
+    for k in range(1, 6)
+)
+_ORACLES["q95_pagerank"] = f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e AS (
+  {_PR_EDGE_LEGS}
+),
+r0 AS (
+  SELECT doc_id AS id, 1000000000000 // (SELECT c FROM nn) AS r
+  FROM documents
+){_PR_ITERS}
+SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp,
+       ROUND(r::DOUBLE / 1000000000000.0, 9) AS rank
+FROM r5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -4121,6 +4209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_json_payload_audit": q91_json_payload_audit,
         "q92_moving_window_stats": q92_moving_window_stats,
         "q93_sliding_distinct_users": q93_sliding_distinct_users,
+        "q94_compaction_plan": q94_compaction_plan,
+        "q95_pagerank": q95_pagerank,
     }
 
 

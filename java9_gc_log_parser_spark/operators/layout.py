@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "compaction_plan",
+    "micro_file_stats",
     "range_boundaries",
     "range_cluster",
     "zone_map",
@@ -198,4 +200,76 @@ def zorder_zone_map(
             ((F.col("min_b") <= F.lit(bhi)) & (F.col("max_b") >= F.lit(blo)))
             .alias("hit_b"),
         )
+    )
+
+
+def micro_file_stats(docs: DataFrame, files_per_source: int = 32) -> DataFrame:
+    """Synthetic per-file metadata table (test/bench scaffolding for
+    :func:`compaction_plan`, like cdc.synth_mutated_snapshot — NOT a
+    pipeline operator): docs are md5-bucketed into ``files_per_source``
+    micro-files per source, mimicking the small-file litter a streaming
+    ingest leaves behind. md5-derived so the DuckDB oracle rebuilds the
+    identical table from the raw documents view.
+
+    Output: ``(source, file_id, n_docs, bytes)``.
+    """
+    fid = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":file:v1"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % files_per_source
+    ).cast("int")
+    return docs.groupBy(F.col("source"), fid.alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes"),
+    )
+
+
+def compaction_plan(
+    file_stats: DataFrame,
+    target_bytes: int,
+    partition_col: str = "source",
+    order_col: str = "file_id",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction plan: within each partition, pack files (in
+    deterministic ``order_col`` order) into sequential bins of
+    ``>= target_bytes`` — ``bin = exclusive_prefix_sum(bytes) //
+    target_bytes``, the same sequential-coalesce rule Spark's own file-scan
+    packing and Iceberg's binpack rewrite use. The plan is the INPUT to a
+    rewrite job (read each bin, write one file); planning itself touches
+    only file METADATA.
+
+    Output, one row per (partition, bin): ``(<partition_col>, bin,
+    n_files, total_bytes, first_file, last_file, over_target)`` —
+    ``over_target`` marks bins a straddling large file pushed past 2x the
+    target (the rewrite should split those instead of concatenating).
+
+    Scale notes (100 TB): at ~128 MB files a 100-TB table is ~10^6
+    metadata rows — the window pass and rollup run on metadata, never on
+    data. One shuffle on the partition key; the running sum is an O(1)
+    frame. The rewrite this plan drives is embarrassingly parallel per bin.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = file_stats.withColumn(
+        "_prefix", F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    ).withColumn("bin", F.expr(f"_prefix div {int(target_bytes)}").cast("int"))
+    return binned.groupBy(partition_col, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(size_col).cast("long").alias("total_bytes"),
+        F.min(order_col).alias("first_file"),
+        F.max(order_col).alias("last_file"),
+        (F.sum(size_col) > 2 * int(target_bytes)).alias("over_target"),
     )

@@ -164,3 +164,30 @@ def test_zorder_validates_params(spark):
     with pytest.raises(ValueError):
         zorder_cluster(_dims(spark, [(0, 0)]), "da", "db", bits=4,
                        cluster_bits=9)
+
+
+def test_compaction_plan_sequential_bins_and_straddle(spark):
+    from java9_gc_log_parser_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame(
+        [
+            # partition A: 60+60 -> bin0 (prefix 0, 60); 100 -> bin1
+            # (prefix 120); 300 straddles -> bin2 (prefix 220), over 2x
+            ("A", 1, 60), ("A", 2, 60), ("A", 3, 100), ("A", 4, 300),
+            # partition B independent
+            ("B", 1, 50),
+        ],
+        "source string, file_id int, bytes long",
+    )
+    out = {
+        (r["source"], r["bin"]): r
+        for r in compaction_plan(df, target_bytes=100).collect()
+    }
+    assert out[("A", 0)]["n_files"] == 2
+    assert out[("A", 0)]["total_bytes"] == 120
+    assert (out[("A", 0)]["first_file"], out[("A", 0)]["last_file"]) == (1, 2)
+    assert not out[("A", 0)]["over_target"]
+    assert out[("A", 1)]["n_files"] == 1 and out[("A", 1)]["total_bytes"] == 100
+    assert out[("A", 2)]["over_target"]  # 300 > 2 * 100
+    assert out[("B", 0)]["n_files"] == 1
+    assert len(out) == 4
