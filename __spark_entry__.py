@@ -1860,6 +1860,58 @@ def q95_pagerank(spark, sf_dir):
     return pagerank_fixed(docs.select("doc_id"), edges, n_nodes=n, outdeg=2)
 
 
+def q96_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: quantized-idf keyword leg (the q87 posting-join
+    shape) + exact-cosine dense leg (q19) fused via integer reciprocal-rank
+    fusion — top-10 per query doc. Both legs broadcast the tiny query set;
+    fusion is a full-outer join of two k-row-per-query rank tables."""
+    from java9_gc_log_parser_spark.operators.search import hybrid_rrf_search
+
+    return hybrid_rrf_search(_docs(spark, sf_dir), _embs(spark, sf_dir))
+
+
+def q97_scd2_temporal_enrich(spark, sf_dir):
+    """Temporal dimension lookup: every event enriched with the SCD2
+    version active at its timestamp via the q62 union-and-carry as-of
+    (ONE shuffle, no join node), against the q90-built dimension. The
+    `consistent` invariant (matched attr == the event's own type) holds by
+    construction; the oracle is DuckDB's NATIVE ASOF JOIN over an
+    independently re-derived dimension."""
+    from java9_gc_log_parser_spark.operators.asof import asof_join
+    from java9_gc_log_parser_spark.operators.cdc import scd2_build
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    dim = scd2_build(_events(spark, sf_dir)).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        "version",
+        F.col("event_type").alias("dim_attr"),
+    )
+    out = asof_join(ev, dim, key="user_id", ts="ts", right_cols=("version", "dim_attr"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("asof_version").alias("version"),
+        F.col("asof_dim_attr").alias("dim_attr"),
+        (F.col("event_type") == F.col("asof_dim_attr")).alias("consistent"),
+    )
+
+
+def q98_value_anomaly_profile(spark, sf_dir):
+    """Per-type z-score anomaly profile of the value column: exceedance
+    counts at 1/2/3 sigma decided by PURE-INTEGER comparisons
+    ((v*n - S)^2 > k^2*(n*Q - S^2) in exact centi-units) — no float
+    accumulation; two map-combinable aggs with a broadcast moment table
+    between them."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        value_anomaly_profile,
+    )
+
+    return value_anomaly_profile(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4109,6 +4161,114 @@ FROM r5
 """
 
 
+# q96: sparse leg re-derived from raw text (distinct terms, quantized idf
+# = bit_length(N // df)), dense leg re-derived from raw embeddings, RRF in
+# integer micro-units — the fusion is bit-replayable end-to-end.
+_ORACLES["q96_hybrid_rrf_search"] = _DTOK + f"""
+, dterm AS (
+  SELECT doc_id, unnest(list_distinct(ltoks)) AS term FROM dtok
+), dfv AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dterm GROUP BY 1
+), idf AS (
+  SELECT dterm.doc_id, dterm.term,
+    CAST(length(ltrim(bin((SELECT COUNT(*) FROM documents) // df), '0'))
+         AS BIGINT) AS idf_fp
+  FROM dterm JOIN dfv USING (term)
+), qterms AS (
+  SELECT doc_id AS query_id, term, idf_fp FROM idf WHERE doc_id % 101 = 0
+), overlap AS (
+  SELECT q.query_id, c.doc_id AS id, CAST(SUM(q.idf_fp) AS BIGINT) AS score
+  FROM dterm c JOIN qterms q USING (term)
+  WHERE c.doc_id <> q.query_id
+  GROUP BY 1, 2
+), sparse AS (
+  SELECT query_id, id, CAST(rk AS INT) AS sparse_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, id ASC) AS rk FROM overlap
+  ) WHERE rk <= 20
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), dense AS (
+  SELECT query_id, id, CAST(rk AS INT) AS dense_rank FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS id,
+             {_COS.format(a="q.emb", b="c.emb")} AS cos
+      FROM e q, e c
+      WHERE q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+    )
+  ) WHERE rk <= 20
+), fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.id, d.id) AS id,
+         s.sparse_rank, d.dense_rank,
+         CAST(COALESCE(1000000 // (60 + s.sparse_rank), 0)
+            + COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT) AS rrf_fp
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.id = d.id
+)
+SELECT query_id, id AS doc_id, rrf_fp, sparse_rank, dense_rank,
+       CAST(rk AS INT) AS final_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_fp DESC, id ASC) AS rk FROM fused
+) WHERE rk <= 10
+"""
+
+# q97: the dimension is re-derived from scratch and consumed via DuckDB's
+# NATIVE ASOF JOIN — an independent implementation of the lookup rule.
+_ORACLES["q97_scd2_temporal_enrich"] = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(event_type) OVER w IS NULL
+          OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM o
+), runs AS (
+  SELECT user_id, ver, MIN(event_type) AS dim_attr, MIN(ts) AS valid_from
+  FROM v GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       CAST(r.ver AS INT) AS version, r.dim_attr,
+       e.event_type = r.dim_attr AS consistent
+FROM events e ASOF LEFT JOIN runs r
+  ON e.user_id = r.user_id AND e.ts >= r.valid_from
+"""
+
+_ORACLES["q98_value_anomaly_profile"] = """
+WITH b AS (
+  SELECT event_type AS k, CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS q
+  FROM b GROUP BY k
+), j AS (
+  SELECT b.k, n, s, q, (v * n - s) AS dev, (n * q - s * s) AS var_n2
+  FROM b JOIN st USING (k)
+)
+SELECT k AS event_type, MIN(n) AS n,
+  ROUND(MIN(s)::DOUBLE / 100.0 / MIN(n)::DOUBLE, 6) AS v_mean,
+  ROUND(CASE WHEN MIN(var_n2) > 0
+        THEN sqrt(MIN(var_n2)::DOUBLE) / MIN(n)::DOUBLE / 100.0 END, 6)
+    AS v_std,
+  ROUND(MAX(CASE WHEN var_n2 > 0
+        THEN abs(dev)::DOUBLE / sqrt(var_n2::DOUBLE) END), 6) AS max_absz,
+  CAST(SUM(CASE WHEN dev*dev > 1*var_n2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_over_1s,
+  CAST(SUM(CASE WHEN dev*dev > 4*var_n2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_over_2s,
+  CAST(SUM(CASE WHEN dev*dev > 9*var_n2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_over_3s
+FROM j GROUP BY k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -4211,6 +4371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_sliding_distinct_users": q93_sliding_distinct_users,
         "q94_compaction_plan": q94_compaction_plan,
         "q95_pagerank": q95_pagerank,
+        "q96_hybrid_rrf_search": q96_hybrid_rrf_search,
+        "q97_scd2_temporal_enrich": q97_scd2_temporal_enrich,
+        "q98_value_anomaly_profile": q98_value_anomaly_profile,
     }
 
 

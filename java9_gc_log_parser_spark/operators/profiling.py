@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from .text_analysis import tokens_col
 
-__all__ = ["json_payload_audit", "key_skew_report", "length_outlier_gate"]
+__all__ = [
+    "json_payload_audit",
+    "key_skew_report",
+    "length_outlier_gate",
+    "value_anomaly_profile",
+]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -113,6 +118,84 @@ def json_payload_audit(
                 6,
             ).alias("v_mean"),
         )
+    )
+
+
+def value_anomaly_profile(
+    events: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key z-score anomaly profile over a numeric telemetry column:
+    how many observations sit beyond 1/2/3 population standard deviations,
+    plus the max |z| — the sanity gate a pipeline runs before trusting a
+    metric column (the reference's analogue: its duration fields feed p99
+    rollups that a single corrupted value would poison).
+
+    Determinism contract: values quantize to exact centi-units (BIGINT);
+    with S = Σv, Q = Σv² (both exact), z² = (v·n − S)² / (n·Q − S²), so
+    every threshold test is a pure-integer comparison
+    ``(v·n − S)² > k²·(n·Q − S²)`` — no float accumulation anywhere, and
+    max|z| is a float only at the final single sqrt of exact integers.
+    Validity bound: products must fit int64 — n·Q < 2^63, i.e. roughly
+    n·(100·v_max)² · n < 9.2e18 (documented; at petabyte-scale n switch the
+    comparison to DOUBLE of the exact integer subterms — identical
+    rounding both engines — or DECIMAL).
+
+    Output, one row per key: ``(<key>, n, v_mean, v_std, max_absz,
+    n_over_1s, n_over_2s, n_over_3s)`` — mean/std/max_absz 6-dp, NULL
+    std/z when the key's variance is 0 or n < 2.
+
+    Scale notes (100 TB): two map-combinable hash aggs over the stream
+    (moments, then exceedance counts) with the tiny per-key moment table
+    broadcast back between them — no window, no sort, no holistic state.
+    """
+    centi = F.floor(F.col(value) * 100).cast("long")
+    base = events.filter(F.col(value).isNotNull()).select(
+        F.col(key), centi.alias("_v")
+    )
+    stats = base.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+    )
+    joined = base.join(F.broadcast(stats), key).select(
+        F.col(key),
+        "_n",
+        "_s",
+        "_q",
+        (F.col("_v") * F.col("_n") - F.col("_s")).alias("_dev"),
+        (F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")).alias("_var_n2"),
+    )
+    dev2 = F.col("_dev") * F.col("_dev")
+    over = lambda k2: F.sum(  # noqa: E731
+        F.when(dev2 > F.lit(k2) * F.col("_var_n2"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    absz = F.when(
+        F.col("_var_n2") > 0,
+        F.abs(F.col("_dev")).cast("double")
+        / F.sqrt(F.col("_var_n2").cast("double")),
+    )
+    return joined.groupBy(key).agg(
+        F.first("_n").alias("n"),
+        F.round(
+            F.first("_s").cast("double") / F.lit(100.0)
+            / F.first("_n").cast("double"),
+            6,
+        ).alias("v_mean"),
+        F.round(
+            F.when(
+                F.first("_var_n2") > 0,
+                F.sqrt(F.first("_var_n2").cast("double"))
+                / F.first("_n").cast("double")
+                / F.lit(100.0),
+            ),
+            6,
+        ).alias("v_std"),
+        F.round(F.max(absz), 6).alias("max_absz"),
+        over(1).alias("n_over_1s"),
+        over(4).alias("n_over_2s"),
+        over(9).alias("n_over_3s"),
     )
 
 

@@ -66,3 +66,28 @@ def test_json_payload_audit_parse_and_drift(spark):
     assert abs(k["parse_rate"] - 0.666667) < 1e-9
     kx = rows["k,x"]
     assert (kx["n"], kx["n_parsed"], kx["v_sum"]) == (1, 1, 5)
+
+
+def test_value_anomaly_profile_integer_thresholds(spark):
+    from java9_gc_log_parser_spark.operators.profiling import (
+        value_anomaly_profile,
+    )
+
+    # type A: nine 10.0s and one 20.0 -> the 20 is the outlier:
+    # mean 11, std = 3, z(20) = 3.0 exactly -> NOT > 3 sigma (strict),
+    # but > 2 and > 1
+    df = spark.createDataFrame(
+        [(i, "A", 10.0) for i in range(9)] + [(9, "A", 20.0)]
+        + [(10, "B", 5.0), (11, "B", 5.0)],  # zero variance
+        "event_id long, event_type string, value double",
+    )
+    rows = {r["event_type"]: r for r in value_anomaly_profile(df).collect()}
+    a = rows["A"]
+    assert a["n"] == 10 and a["v_mean"] == 11.0 and a["v_std"] == 3.0
+    assert a["max_absz"] == 3.0
+    assert a["n_over_3s"] == 0  # strict inequality at the boundary
+    assert a["n_over_2s"] == 1
+    assert a["n_over_1s"] == 1
+    b = rows["B"]
+    assert b["v_std"] is None and b["max_absz"] is None
+    assert (b["n_over_1s"], b["n_over_2s"], b["n_over_3s"]) == (0, 0, 0)
