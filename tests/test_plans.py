@@ -375,3 +375,70 @@ def test_dup_span_scrub_plan_is_jvm_only_and_never_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # no per-row Python anywhere
+
+
+# ---- round-3 additions: plan shapes of the new operator family ----------
+
+def _uniq_nodes(plan: str, node: str) -> int:
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_funnel_single_data_shuffle(spark, sf_dir, entrymod):
+    """q88: all k funnel stages ride ONE events shuffle (3 window passes +
+    the per-user agg reuse the user partitioning); the only other exchange
+    is the single-row totals rollup."""
+    plan = _formatted(entrymod.queries()["q88_funnel_conversion"](spark, sf_dir))
+    assert _uniq_nodes(plan, "Exchange") <= 2
+    assert _uniq_nodes(plan, "Window") == 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir, entrymod):
+    """q90: change-flag window, version running sum, run agg, and valid_to
+    lead ALL share the user_id hash partitioning -> exactly one Exchange."""
+    plan = _formatted(entrymod.queries()["q90_scd2_history"](spark, sf_dir))
+    assert _uniq_nodes(plan, "Exchange") == 1
+
+
+def test_moving_window_two_stage_shape(spark, sf_dir, entrymod):
+    """q92: rollup exchange + window exchange, nothing else; the raw
+    stream is never window-scanned."""
+    plan = _formatted(entrymod.queries()["q92_moving_window_stats"](spark, sf_dir))
+    assert _uniq_nodes(plan, "Exchange") == 2
+    assert _uniq_nodes(plan, "Window") == 1
+
+
+def test_compaction_plan_metadata_only_shape(spark, sf_dir, entrymod):
+    """q94: file-stats agg + per-partition window; the bin rollup reuses
+    the window's partitioning (no third exchange)."""
+    plan = _formatted(entrymod.queries()["q94_compaction_plan"](spark, sf_dir))
+    assert _uniq_nodes(plan, "Exchange") == 2
+
+
+def test_anomaly_profile_broadcasts_moments(spark, sf_dir, entrymod):
+    """q98: the per-key moment table joins back via BroadcastHashJoin —
+    the event stream is never shuffled for the join."""
+    plan = _formatted(entrymod.queries()["q98_value_anomaly_profile"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _uniq_nodes(plan, "Exchange") == 2
+
+
+def test_pagerank_and_hybrid_search_no_cartesian(spark, sf_dir, entrymod):
+    """q95/q96: no unbounded pair generation. (q96's dense leg uses the
+    q19 broadcast-nested-loop by design — query side is tiny — but a
+    CartesianProduct must never appear.)"""
+    for name in ("q95_pagerank", "q96_hybrid_rrf_search"):
+        plan = _formatted(entrymod.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+    plan96 = _formatted(entrymod.queries()["q96_hybrid_rrf_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan96  # query terms broadcast
