@@ -1912,6 +1912,23 @@ def q98_value_anomaly_profile(spark, sf_dir):
     return value_anomaly_profile(_events(spark, sf_dir))
 
 
+def q99_data_contract_audit(spark, sf_dir):
+    """Star-schema data-contract audit: FK orphan counts (one child scan +
+    broadcastable parent-key projection each), fused map-only null/range
+    checks, and two-phase distinct uniqueness — nine one-row scalars
+    unioned; the report never shuffles data."""
+    from java9_gc_log_parser_spark.operators.quality import (
+        data_contract_audit,
+    )
+
+    return data_contract_audit(
+        _tpch(spark, sf_dir, "customer"),
+        _tpch(spark, sf_dir, "orders"),
+        _tpch(spark, sf_dir, "lineitem"),
+        _tpch(spark, sf_dir, "nation"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4269,6 +4286,77 @@ FROM j GROUP BY k
 """
 
 
+_ORACLES["q99_data_contract_audit"] = """
+SELECT 'fk_orders_customer' AS check_id, 'fk' AS check_type,
+       'orders' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+           THEN 1 ELSE 0 END) = 0 AS ok
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'fk_lineitem_orders', 'fk', 'lineitem',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+           THEN 1 ELSE 0 END) = 0
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'fk_customer_nation', 'fk', 'customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN cu.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN cu.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+           THEN 1 ELSE 0 END) = 0
+FROM customer cu LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+  ON cu.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nn_orders_custkey', 'not_null', 'orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'range_orders_totalprice', 'range', 'orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'range_lineitem_quantity', 'range', 'lineitem',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+           THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'range_lineitem_discount', 'range', 'lineitem',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+           THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'unique_orders_orderkey', 'unique', 'orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'unique_customer_custkey', 'unique', 'customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+       COUNT(*) - COUNT(DISTINCT c_custkey) = 0
+FROM customer
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -4374,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_hybrid_rrf_search": q96_hybrid_rrf_search,
         "q97_scd2_temporal_enrich": q97_scd2_temporal_enrich,
         "q98_value_anomaly_profile": q98_value_anomaly_profile,
+        "q99_data_contract_audit": q99_data_contract_audit,
     }
 
 
