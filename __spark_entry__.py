@@ -1929,6 +1929,22 @@ def q99_data_contract_audit(spark, sf_dir):
     )
 
 
+def q100_grouped_hll_distinct(spark, sf_dir):
+    """Distinct users per event_type via per-group mergeable HLL (q61's
+    register construction restated per group): shards sketch
+    independently, registers merge by elementwise max per group — the
+    scale pattern that replaces an exact two-phase distinct over every
+    (group, user) pair with 256 small integers per group. Estimate audited
+    against the exact distinct in the same row."""
+    from java9_gc_log_parser_spark.operators.sketches import (
+        grouped_hll_distinct,
+    )
+
+    return grouped_hll_distinct(
+        _events(spark, sf_dir), "event_type", F.col("user_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4357,6 +4373,57 @@ FROM customer
 """
 
 
+_ORACLES["q100_grouped_hll_distinct"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item FROM events
+), lz AS (
+  SELECT event_type,
+         ('0x' || substr(md5(item), 1, 2))::INTEGER AS register,
+         length(regexp_extract(substr(md5(item), 3, 12), '^(0*)', 1)) AS z,
+         substr(md5(item), 3, 12) AS tail
+  FROM pairs
+), rk AS (
+  SELECT event_type, register,
+         CASE WHEN z = 12 THEN 49
+              ELSE z * 4 + 1 +
+                CASE substr(tail, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END
+         END AS rank
+  FROM lz
+),
+regs AS (SELECT event_type, register, MAX(rank) AS max_rank
+         FROM rk GROUP BY 1, 2),
+ag AS (SELECT event_type, SUM(1::BIGINT << (49 - max_rank)) AS s_int,
+              COUNT(*) AS nz FROM regs GROUP BY 1),
+ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       FROM pairs GROUP BY 1),
+calc AS (
+  SELECT ag.event_type, s_int::DOUBLE / 562949953421312.0 AS s,
+         256.0 - nz AS zeros, exact_distinct
+  FROM ag JOIN ex USING (event_type)
+),
+e AS (
+  SELECT event_type,
+         CASE WHEN ({0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                    / (s + zeros)) <= 640.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros)
+              ELSE {0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                   / (s + zeros) END AS est,
+         exact_distinct
+  FROM calc
+)
+SELECT event_type, CAST(FLOOR(ROUND(est, 6)) AS BIGINT) AS hll_estimate,
+       exact_distinct,
+       ROUND((ROUND(est, 6) - exact_distinct) / exact_distinct, 6)
+         AS rel_error
+FROM e
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -4463,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_scd2_temporal_enrich": q97_scd2_temporal_enrich,
         "q98_value_anomaly_profile": q98_value_anomaly_profile,
         "q99_data_contract_audit": q99_data_contract_audit,
+        "q100_grouped_hll_distinct": q100_grouped_hll_distinct,
     }
 
 

@@ -291,3 +291,77 @@ def histogram_quantile(
     return hit.join(exact).select(
         "n_rows", "est_q", "exact_q", rel.alias("rel_error")
     )
+
+
+def grouped_hll_distinct(
+    df: DataFrame, group_col: str, item: Column
+) -> DataFrame:
+    """Per-GROUP mergeable HLL distinct estimate with exact audit — the
+    scale pattern for "distinct users per dimension value" where an exact
+    two-phase distinct would shuffle every (group, item) pair: each shard
+    sketches independently, registers merge by elementwise max per group,
+    and the estimate reads 256 small integers per group.
+
+    Same register construction, string-space leading-zero rank, exact
+    integer 2^(49-rank) summation, linear-counting correction, and 6-dp
+    float contract as :func:`hll_distinct_report` (q61) — restated per
+    group so the DuckDB oracle replays every group's registers exactly.
+
+    Output, one row per group: ``(<group_col>, hll_estimate,
+    exact_distinct, rel_error)``. (The exact leg exists for the audit; at
+    100 TB only the sketch side runs.)
+    """
+    pairs = df.select(F.col(group_col), item.cast("string").alias("_item")).distinct()
+    hi = F.md5(F.col("_item"))
+    hxi = F.substring(hi, 3, 12)
+    zi = F.length(F.regexp_extract(hxi, "^(0*)", 1))
+    firsti = F.substring(hxi, zi + 1, 1)
+    digit_lzi = (
+        F.when(firsti == "1", 3)
+        .when(firsti.isin("2", "3"), 2)
+        .when(firsti.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    ranki = F.when(zi == 12, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        zi * 4 + digit_lzi + 1
+    )
+    regs = (
+        pairs.select(
+            group_col,
+            F.conv(F.substring(hi, 1, 2), 16, 10).cast("int").alias("register"),
+            ranki.cast("int").alias("rank"),
+        )
+        .groupBy(group_col, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_RANK_BITS + 1} - max_rank)")
+        ).alias("_s_int"),
+        F.count(F.lit(1)).alias("_nz"),
+    ).select(
+        group_col,
+        (F.col("_s_int").cast("double") / F.lit(float(2 ** 49))).alias("_s"),
+        "_nz",
+    )
+    exact = pairs.groupBy(group_col).agg(
+        F.countDistinct("_item").alias("exact_distinct")
+    )
+    zeros = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw)
+    return agg.join(exact, group_col).select(
+        group_col,
+        F.floor(F.round(est, 6)).cast("long").alias("hll_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            (F.round(est, 6) - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
