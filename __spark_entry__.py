@@ -1115,35 +1115,62 @@ def q66_stream_stream_join(spark, sf_dir):
     lateness settings the state is sized by the 10-minute range + delay
     horizon per conversation, not the stream's history.
 
+    Skew defense (the load-bearing scale decision): Spark's symmetric hash
+    join keys state on the EQUALITY columns only — joining on bare conv_id
+    post-filters the range condition over every user×assistant pair within
+    a conversation. A long-running conversation makes that quadratic: at
+    sf0.1 one 30k-turn conv alone generated 126M probe pairs (146M total)
+    funneled through ONE state partition — jstack showed a single RUNNABLE
+    task in ``KeyWithIndexToValueStore`` iteration for ~50 s of an 85 s
+    drain. The fix composes the range bound into the equality key: both
+    sides carry ``floor(unix_seconds(ts)/600)`` and, because
+    ``0 <= r_ts - l_ts < 600s`` implies the bucket delta is 0 or 1, the
+    user side explodes to probe buckets {b, b+1}. Probe pairs collapse to
+    within-adjacent-bucket pairs (~7 turns/bucket on the hot conv), keys go
+    from 36 convs to convs×buckets (so the 8 state partitions balance), and
+    no pair can be emitted twice since r_bucket equals at most one probe.
+    Measured: 52 s -> 8 s on the identical input with byte-identical
+    output (70,710 pairs, 0 dupes). At 100 TB this is the difference
+    between per-key quadratic state probing and horizon-bounded work.
+
     Reference capability: the reference correlates pause_start/pause_end
     lines of one GC event; this is the general two-stream correlation with
     a time bound."""
     import shutil
 
+    bucket_s = 600  # == the 10-minute range bound
+
     root = _scratch(sf_dir, "q66")
     shutil.rmtree(root, ignore_errors=True)
     src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
-    tdf = synth_transcripts(spark, sf_dir)
-    tdf.repartition(32).write.parquet(src)
-    lo, hi = tdf.agg(F.min("ts"), F.max("ts")).first()
+    synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
+    # min/max from the written files (parquet footer stats), not a second
+    # pass over the synth plan
+    lo, hi = spark.read.parquet(src).agg(F.min("ts"), F.max("ts")).first()
     delay_s = int((hi - lo).total_seconds()) + 60
 
-    def _side(role, names):
+    def _stream(role):
         return (
             spark.readStream.schema(_INPUT_SCHEMA)
             .option("maxFilesPerTrigger", 16)
             .parquet(src)
             .filter(F.col("role") == role)
             .withWatermark("ts", f"{delay_s} seconds")
-            .select(
-                F.col("conv_id").alias(names[0]),
-                F.col("turn_idx").alias(names[1]),
-                F.col("ts").alias(names[2]),
-            )
         )
 
-    left = _side("user", ("l_conv", "l_turn", "l_ts"))
-    right = _side("assistant", ("r_conv", "r_turn", "r_ts"))
+    bucket = (F.unix_seconds(F.col("ts")) / bucket_s).cast("long")
+    left = _stream("user").select(
+        F.col("conv_id").alias("l_conv"),
+        F.col("turn_idx").alias("l_turn"),
+        F.col("ts").alias("l_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("l_bucket"),
+    )
+    right = _stream("assistant").select(
+        F.col("conv_id").alias("r_conv"),
+        F.col("turn_idx").alias("r_turn"),
+        F.col("ts").alias("r_ts"),
+        bucket.alias("r_bucket"),
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -1151,7 +1178,8 @@ def q66_stream_stream_join(spark, sf_dir):
             left.join(
                 right,
                 F.expr(
-                    "l_conv = r_conv AND r_ts >= l_ts "
+                    "l_conv = r_conv AND l_bucket = r_bucket "
+                    "AND r_ts >= l_ts "
                     "AND r_ts < l_ts + INTERVAL 10 MINUTES"
                 ),
             )
