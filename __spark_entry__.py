@@ -1973,6 +1973,42 @@ def q100_grouped_hll_distinct(spark, sf_dir):
     )
 
 
+def q101_orc_storage_parity(spark, sf_dir):
+    """Second-columnar-format proof: documents written through the storage
+    seam as ORC partitioned by `source`, read back with a partition-prune
+    filter plus a pushed `n_chars` predicate, and rolled up per source.
+    Same TableRef call sites as parquet — only `format="orc"` changes — so
+    a cluster standardized on ORC (classic Hive estates) swaps formats
+    with zero operator edits. The oracle computes the identical rollup
+    from the original parquet, so any ORC encode/decode fidelity loss
+    (string, int64) would hash-mismatch. Scan-level pruning (partition dir
+    skip + ORC predicate pushdown) is plan-asserted in tests/test_plans.py.
+    """
+    import shutil
+
+    from java9_gc_log_parser_spark.storage import (
+        TableRef,
+        read_table,
+        write_table,
+    )
+
+    root = _scratch(sf_dir, "q101")
+    shutil.rmtree(root, ignore_errors=True)
+    ref = TableRef(f"{root}/docs_orc", format="orc",
+                   partition_by=("source",))
+    write_table(_docs(spark, sf_dir), ref)
+    back = read_table(spark, ref)
+    return (
+        back.filter((F.col("source") != "web") & (F.col("n_chars") >= 200))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4452,6 +4488,16 @@ FROM e
 """
 
 
+_ORACLES["q101_orc_storage_parity"] = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+WHERE source <> 'web' AND n_chars >= 200
+GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse->classify over sf0.001 synthetic transcripts."""
     return q01_parse_classify(spark, "/root/testdata/sf0.001")
@@ -4559,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_value_anomaly_profile": q98_value_anomaly_profile,
         "q99_data_contract_audit": q99_data_contract_audit,
         "q100_grouped_hll_distinct": q100_grouped_hll_distinct,
+        "q101_orc_storage_parity": q101_orc_storage_parity,
     }
 
 

@@ -35,6 +35,11 @@ PARQUET = "parquet"
 ICEBERG = "iceberg"
 JSONL = "jsonl"
 CSV = "csv"
+#: second columnar leg (native Spark, no extra jars): same pushdown/pruning
+#: contract as parquet — proves no operator silently depends on
+#: parquet-specific behavior, and gives clusters standardized on ORC
+#: (classic Hive/Hadoop estates) a drop-in format choice
+ORC = "orc"
 
 
 @dataclass(frozen=True)
@@ -150,6 +155,8 @@ def read_table(spark: SparkSession, table: TableRef | str) -> DataFrame:
         # pin partition discovery to the table root so partition-dir reads
         # keep their partition columns
         reader = reader.option("basePath", ref.location)
+    if ref.format == ORC:
+        return reader.orc(ref.location)
     return reader.parquet(ref.location)
 
 
@@ -228,6 +235,9 @@ def write_table(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
         ).csv(ref.location)
         return
+    if ref.format == ORC:
+        writer.orc(ref.location)
+        return
     writer.parquet(ref.location)
 
 
@@ -280,7 +290,7 @@ def table_scan_stats(
     n_files, n_bytes = 0, 0
     for dirpath, _dirnames, filenames in os.walk(ref.location):
         for fn in filenames:
-            if fn.endswith(".parquet"):
+            if fn.endswith((".parquet", ".orc")):
                 n_files += 1
                 n_bytes += os.path.getsize(os.path.join(dirpath, fn))
     return n_files, n_bytes

@@ -52,6 +52,38 @@ def test_parquet_scan_stats(spark, tmp_path):
     assert n_bytes > 0
 
 
+def test_orc_roundtrip_partitioned_pushdown(spark, tmp_path):
+    """ORC leg parity with parquet: partitioned write, partition-column
+    recovery on read, timestamp-micros fidelity, predicate pushdown into
+    the ORC scan, and scan stats counting .orc files."""
+    from java9_gc_log_parser_spark.storage import table_scan_stats
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    ref = TableRef(
+        str(tmp_path / "t_orc"), format="orc", partition_by=("role",)
+    )
+    write_table(df, ref)
+    back = read_table(spark, ref)
+    assert sorted(back.columns) == sorted(df.columns)
+    assert sorted(
+        map(tuple, back.select(*df.columns).collect())
+    ) == sorted(map(tuple, df.collect()))
+
+    filtered = back.filter("role = 'user' AND turn_idx >= 0")
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    # role is a partition dir -> PartitionFilters; turn_idx is a data
+    # predicate -> PushedFilters into the ORC reader
+    assert "PartitionFilters" in plan and "role" in plan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(turn_idx,0)" in plan
+
+    n_files, n_bytes = table_scan_stats(spark, ref)
+    assert n_files >= 2  # one per role partition
+    assert n_bytes > 0
+
+
 def test_iceberg_unavailable_raises_clear_error(spark, tmp_path):
     """Without the runtime jar the Iceberg leg must fail fast with an
     actionable message, not a deep ClassNotFoundException from the JVM."""
