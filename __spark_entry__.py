@@ -2009,6 +2009,20 @@ def q101_orc_storage_parity(spark, sf_dir):
     )
 
 
+def q102_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per (user, 6h bucket) over the irregular
+    event stream — TimescaleDB's time_weight('locf') rollup: the LOCF
+    step integral first→last observation divided by the span, with the
+    plain mean side-by-side so chatty-period bias is visible. One shuffle
+    serves both the lead window and the final agg (same keys). Exact
+    centi-unit BIGINT integral so the oracle is bit-identical."""
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4488,6 +4502,33 @@ FROM e
 """
 
 
+_ORACLES["q102_time_weighted_avg"] = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         epoch_us(ts) // 21600000000 AS b,
+         CAST(FLOOR(value * 100) AS BIGINT) AS vc,
+         event_id
+  FROM events WHERE value IS NOT NULL
+), led AS (
+  SELECT user_id, b, t, vc,
+         LEAD(t) OVER (PARTITION BY user_id, b ORDER BY t, event_id) - t
+           AS dt
+  FROM s
+), g AS (
+  SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         MAX(t) - MIN(t) AS span_us,
+         SUM(vc * dt) AS intg, SUM(vc) AS vsum
+  FROM led GROUP BY 1, 2
+)
+SELECT user_id, make_timestamp(b * 21600000000) AS bucket_ts, n_obs,
+  span_us,
+  ROUND(CASE WHEN span_us > 0
+             THEN intg::DOUBLE / span_us::DOUBLE / 100.0
+             ELSE vsum::DOUBLE / n_obs::DOUBLE / 100.0 END, 6) AS v_twa,
+  ROUND(vsum::DOUBLE / n_obs::DOUBLE / 100.0, 6) AS v_naive
+FROM g
+"""
+
 _ORACLES["q101_orc_storage_parity"] = """
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -4606,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_data_contract_audit": q99_data_contract_audit,
         "q100_grouped_hll_distinct": q100_grouped_hll_distinct,
         "q101_orc_storage_parity": q101_orc_storage_parity,
+        "q102_time_weighted_avg": q102_time_weighted_avg,
     }
 
 

@@ -241,3 +241,94 @@ def sliding_distinct_users(
             (F.col("_act") == 1).alias("has_activity"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: str = "event_id",
+    bucket_us: int = 21_600_000_000,
+) -> DataFrame:
+    """Per-(key, bucket) TIME-weighted average of an irregularly sampled
+    series — TimescaleDB's ``time_weight('locf')`` rollup shape, the
+    correct aggregate where a plain AVG over-weights chatty periods (a
+    sensor that reports every second while alarming and hourly while
+    healthy makes the naive mean an alarm-duty-cycle artifact).
+
+    LOCF step integral WITHIN the bucket: each sample's value holds until
+    the next sample's timestamp; the integral runs first→last observation
+    and divides by that span. Buckets whose span is zero (single sample,
+    or all samples on one timestamp) fall back to the plain exact-integer
+    mean of the instantaneous values. No carry-in/extrapolation across
+    buckets — compose with :func:`gapfill_locf` when dark buckets need
+    synthetic rows.
+
+    Output: ``(<key>, bucket_ts, n_obs, span_us, v_twa, v_naive)`` —
+    ``v_naive`` is the plain mean of the same samples, kept side-by-side
+    so the duty-cycle bias is visible in the result itself.
+
+    Determinism contract (cross-engine oracle parity): samples are totally
+    ordered by (ts, ``order_tiebreak``); values quantize to exact
+    centi-units (BIGINT), the step integral is an order-independent BIGINT
+    sum of ``v_centi * dt_us``, and each mean is derived by a fixed
+    float-division op tree rounded to 6 dp only at the boundary — Spark
+    and DuckDB produce bit-identical doubles.
+
+    Scale shape (100 TB): ONE shuffle on (key, bucket) serves both the
+    ``lead`` window pass and the final aggregation (same partitioning
+    keys, no second exchange); state per row is O(1). Max BIGINT term is
+    |v_centi| * bucket_us ≈ 1e6 * 2e10 = 2e16 per pair — no overflow
+    headroom issues at any real bucket width.
+    """
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
+    ts_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    proj = events.filter(F.col(value).isNotNull()).select(
+        F.col(key),
+        ts_us.alias("_tw_us"),
+        (ts_us / F.lit(bucket_us)).cast("long").alias("_tw_b"),
+        F.floor(F.col(value) * 100).cast("long").alias("_tw_vc"),
+        F.col(order_tiebreak).alias("_tw_tb"),
+    )
+    w = Window.partitionBy(key, "_tw_b").orderBy("_tw_us", "_tw_tb")
+    stepped = proj.withColumn(
+        "_tw_dt", F.lead("_tw_us").over(w) - F.col("_tw_us")
+    )
+    return (
+        stepped.groupBy(F.col(key), F.col("_tw_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            (F.max("_tw_us") - F.min("_tw_us")).alias("span_us"),
+            F.sum(F.col("_tw_vc") * F.col("_tw_dt")).alias("_tw_int"),
+            F.sum("_tw_vc").alias("_tw_sum"),
+        )
+        .select(
+            key,
+            F.timestamp_micros(F.col("_tw_b") * F.lit(bucket_us))
+            .cast("timestamp_ntz")
+            .alias("bucket_ts"),
+            "n_obs",
+            "span_us",
+            F.round(
+                F.when(
+                    F.col("span_us") > 0,
+                    F.col("_tw_int").cast("double")
+                    / F.col("span_us").cast("double")
+                    / F.lit(100.0),
+                ).otherwise(
+                    F.col("_tw_sum").cast("double")
+                    / F.col("n_obs").cast("double")
+                    / F.lit(100.0)
+                ),
+                6,
+            ).alias("v_twa"),
+            F.round(
+                F.col("_tw_sum").cast("double")
+                / F.col("n_obs").cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("v_naive"),
+        )
+    )

@@ -239,3 +239,76 @@ def test_sliding_distinct_users_dedups_across_window(spark):
     assert rows[4]["n_users"] == 2 and not rows[4]["has_activity"]
     # fan-out bound: window_n=3 over 3 distinct pairs -> <= 9 target rows
     assert len(rows) <= 9
+
+
+# ------------------------------------------------------- time-weighted avg
+
+
+def _tw_series(spark, rows):
+    """rows: (user_id, sec, value, event_id)."""
+    return spark.createDataFrame(
+        [(k, _ts(s), float(v), e) for k, s, v, e in rows],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+
+
+def test_twa_matches_hand_computed_locf_integral(spark):
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # one 10s bucket: v=10 holds [0,2), v=20 holds [2,6), v=30 at 6 (no dt)
+    df = _tw_series(spark, [(1, 0, 10.0, 1), (1, 2, 20.0, 2),
+                            (1, 6, 30.0, 3)])
+    out = time_weighted_avg(df, bucket_us=10_000_000)
+    [r] = out.collect()
+    assert r["n_obs"] == 3
+    assert r["span_us"] == 6_000_000
+    # integral = 10*2 + 20*4 = 100 value-sec over 6s span
+    assert r["v_twa"] == pytest.approx(100.0 / 6.0, abs=1e-6)
+    assert r["v_naive"] == pytest.approx(20.0)
+
+
+def test_twa_single_sample_and_constant_series(spark):
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = _tw_series(spark, [(1, 3, 42.0, 1),                  # singleton
+                            (2, 0, 7.0, 2), (2, 1, 7.0, 3),   # constant,
+                            (2, 9, 7.0, 4)])                  # irregular
+    rows = {r["user_id"]: r
+            for r in time_weighted_avg(df, bucket_us=10_000_000).collect()}
+    assert rows[1]["span_us"] == 0
+    assert rows[1]["v_twa"] == pytest.approx(42.0)
+    assert rows[2]["v_twa"] == pytest.approx(7.0)
+    assert rows[2]["v_naive"] == pytest.approx(7.0)
+
+
+def test_twa_discounts_instantaneous_spike_naive_mean_does_not(spark):
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # v=10 holds the whole 9s span; the 1000 spike lands at the end with
+    # zero holding time — TWA stays 10, the naive mean explodes to 505
+    df = _tw_series(spark, [(1, 0, 10.0, 1), (1, 9, 1000.0, 2)])
+    [r] = time_weighted_avg(df, bucket_us=10_000_000).collect()
+    assert r["v_twa"] == pytest.approx(10.0)
+    assert r["v_naive"] == pytest.approx(505.0)
+
+
+def test_twa_single_shuffle_shared_by_window_and_agg(spark):
+    from java9_gc_log_parser_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = _tw_series(spark, [(1, 0, 1.0, 1), (1, 2, 2.0, 2),
+                            (2, 1, 3.0, 3)])
+    import re
+
+    plan = _formatted(time_weighted_avg(df, bucket_us=10_000_000))
+    # the lead window and the groupBy share the (key, bucket) partitioning:
+    # exactly ONE shuffle node in the whole plan (the formatted dump lists
+    # each node twice — tree + detail — so count node headers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
