@@ -2023,6 +2023,23 @@ def q102_time_weighted_avg(spark, sf_dir):
     return time_weighted_avg(_events(spark, sf_dir))
 
 
+def q103_triangle_count(spark, sf_dir):
+    """Exact triangle census of the q95 citation graph (undirected view):
+    degree-ordered orientation bounds wedge generation by O(m^1.5) and
+    turns celebrity nodes into wedge targets, never sources; wedges close
+    against the canonical edge set. One-row summary with the global
+    transitivity ratio — every stage exact BIGINT, replayed verbatim by
+    the oracle."""
+    from java9_gc_log_parser_spark.operators.graph import (
+        synth_citation_edges,
+        triangle_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return triangle_count(synth_citation_edges(docs, n_nodes=n, k=2))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4502,6 +4519,47 @@ FROM e
 """
 
 
+_ORACLES["q103_triangle_count"] = f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+raw AS (
+  {_PR_EDGE_LEGS}
+),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS u,
+         CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS w
+  FROM e
+  JOIN (SELECT v AS a, deg AS da FROM deg) USING (a)
+  JOIN (SELECT v AS b, deg AS db FROM deg) USING (b)
+),
+wedges AS (
+  SELECT o1.w AS a, o2.w AS b
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM wedges JOIN e USING (a, b)
+),
+nodes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, triangles,
+       ROUND(3.0 * triangles::DOUBLE / n_wedges::DOUBLE, 6)
+         AS transitivity
+FROM nodes, en, tri
+"""
+
 _ORACLES["q102_time_weighted_avg"] = """
 WITH s AS (
   SELECT user_id, epoch_us(ts) AS t,
@@ -4648,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_grouped_hll_distinct": q100_grouped_hll_distinct,
         "q101_orc_storage_parity": q101_orc_storage_parity,
         "q102_time_weighted_avg": q102_time_weighted_avg,
+        "q103_triangle_count": q103_triangle_count,
     }
 
 

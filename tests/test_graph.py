@@ -53,3 +53,42 @@ def test_synth_citation_edges_constant_outdeg(spark):
     assert all(v == 2 for v in per_src.values()) and len(per_src) == 10
     # dst in range
     assert e.filter("dst < 0 OR dst >= 10").count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from java9_gc_log_parser_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles, 6 edges, 12 wedges, transitivity 1.0 — fed as a
+    # noisy directed multigraph (duplicates, both directions, self-loop)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    noisy = k4 + [(0, 1), (2, 2)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    [r] = triangle_count(df).collect()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["triangles"]) == \
+        (4, 6, 12, 4)
+    assert r["transitivity"] == 1.0
+
+
+def test_triangle_count_path_graph_has_none(spark):
+    from java9_gc_log_parser_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    [r] = triangle_count(df).collect()
+    assert r["triangles"] == 0
+    assert r["n_wedges"] == 8
+
+
+def test_triangle_count_celebrity_node_emits_no_wedges(spark):
+    """A star center (degree n) plus one rim edge: exactly 1 triangle —
+    and the orientation must put the center at the receiving end (its
+    out-list stays empty, so the hot node generates no wedge pairs)."""
+    from java9_gc_log_parser_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    [r] = triangle_count(df).collect()
+    assert r["triangles"] == 1
+    # wedges: center contributes C(20,2)=190, nodes 1 and 2 one each
+    assert r["n_wedges"] == 192
