@@ -2040,6 +2040,24 @@ def q103_triangle_count(spark, sf_dir):
     return triangle_count(synth_citation_edges(docs, n_nodes=n, k=2))
 
 
+def q104_edit_distance_join(spark, sf_dir):
+    """Entity-resolution fuzzy join: all document-title pairs within edit
+    distance 1, via PassJoin 2-segment pigeonhole blocking (complete for
+    ed<=1 by construction) + exact JVM levenshtein verify. The oracle
+    does NOT replay the blocking — it brute-forces all pairs with
+    DuckDB's independent levenshtein, so the gate proves soundness AND
+    the completeness theorem on real data."""
+    from java9_gc_log_parser_spark.operators.linkage import (
+        edit_distance_join,
+        normalized_title,
+    )
+
+    titles = _docs(spark, sf_dir).select(
+        "doc_id", normalized_title("text").alias("title")
+    )
+    return edit_distance_join(titles)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4519,6 +4537,24 @@ FROM e
 """
 
 
+_ORACLES["q104_edit_distance_join"] = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(substr(text, 1, 24)),
+                             '[^a-z0-9 ]', '', 'g')) AS title
+  FROM documents
+), f AS (
+  SELECT doc_id, title, length(title) AS m FROM t WHERE length(title) >= 2
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.title, b.title) AS INT) AS ed,
+       a.m AS len_a, b.m AS len_b
+FROM f a JOIN f b
+  ON a.doc_id < b.doc_id
+ AND abs(a.m - b.m) <= 1
+ AND levenshtein(a.title, b.title) <= 1
+"""
+
 _ORACLES["q103_triangle_count"] = f"""
 WITH nn AS (SELECT COUNT(*) AS c FROM documents),
 raw AS (
@@ -4707,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_orc_storage_parity": q101_orc_storage_parity,
         "q102_time_weighted_avg": q102_time_weighted_avg,
         "q103_triangle_count": q103_triangle_count,
+        "q104_edit_distance_join": q104_edit_distance_join,
     }
 
 
