@@ -2058,6 +2058,46 @@ def q104_edit_distance_join(spark, sf_dir):
     return edit_distance_join(titles)
 
 
+def q105_schema_evolution_audit(spark, sf_dir):
+    """Schema-evolution tolerant read through the storage seam: an early
+    writer version lands batch=1 without the `lang` column, a later one
+    lands batch=2 with it; `merge_schema=True` unions the file footers so
+    old files surface `lang` as NULL instead of failing or silently
+    truncating the schema. The audit rolls up per batch: row count,
+    evolved-column null count, and an exact payload sum — the shape of a
+    backfill-planning query over a decade of heterogenous batches. The
+    oracle re-derives both batches from the raw documents."""
+    import shutil
+
+    from java9_gc_log_parser_spark.storage import (
+        TableRef,
+        read_table,
+        write_table,
+    )
+
+    root = _scratch(sf_dir, "q105")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    write_table(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "n_chars"),
+        f"{root}/t/batch=1",
+    )
+    write_table(
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source", "n_chars", "lang"),
+        f"{root}/t/batch=2",
+    )
+    merged = read_table(
+        spark, TableRef(f"{root}/t", merge_schema=True)
+    )
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("lang_nulls"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4537,6 +4577,16 @@ FROM e
 """
 
 
+_ORACLES["q105_schema_evolution_audit"] = """
+SELECT CAST(1 + (doc_id % 2) AS INT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 OR lang IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
 _ORACLES["q104_edit_distance_join"] = """
 WITH t AS (
   SELECT doc_id,
@@ -4744,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_time_weighted_avg": q102_time_weighted_avg,
         "q103_triangle_count": q103_triangle_count,
         "q104_edit_distance_join": q104_edit_distance_join,
+        "q105_schema_evolution_audit": q105_schema_evolution_audit,
     }
 
 

@@ -78,6 +78,13 @@ class TableRef:
     sort_by: tuple[str, ...] = field(default=())
     #: catalog table name (REQUIRED for bucketed tables)
     name: str | None = None
+    #: schema-evolution tolerant read (parquet/orc): union the footer
+    #: schemas of every file instead of trusting the first one — columns
+    #: added by later writer versions surface as NULL in older files. At
+    #: 10^12 rows schema evolution is a WHEN not an IF (a century of
+    #: batches never rewrites history); the flag is per-read because the
+    #: footer union costs one extra metadata pass over file footers.
+    merge_schema: bool = False
 
 
 def _as_ref(table: TableRef | str) -> TableRef:
@@ -155,6 +162,8 @@ def read_table(spark: SparkSession, table: TableRef | str) -> DataFrame:
         # pin partition discovery to the table root so partition-dir reads
         # keep their partition columns
         reader = reader.option("basePath", ref.location)
+    if ref.merge_schema:
+        reader = reader.option("mergeSchema", True)
     if ref.format == ORC:
         return reader.orc(ref.location)
     return reader.parquet(ref.location)

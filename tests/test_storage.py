@@ -84,6 +84,20 @@ def test_orc_roundtrip_partitioned_pushdown(spark, tmp_path):
     assert n_bytes > 0
 
 
+def test_merge_schema_surfaces_evolved_column_as_null(spark, tmp_path):
+    root = str(tmp_path / "evo")
+    v1 = spark.createDataFrame([(1, "a")], "id long, s string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)],
+                               "id long, s string, q double")
+    write_table(v1, f"{root}/batch=1")
+    write_table(v2, f"{root}/batch=2")
+    merged = read_table(spark, TableRef(root, merge_schema=True))
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "s", "q", "batch"}
+    assert rows[1]["q"] is None and rows[1]["batch"] == 1
+    assert rows[2]["q"] == 9.5
+
+
 def test_iceberg_unavailable_raises_clear_error(spark, tmp_path):
     """Without the runtime jar the Iceberg leg must fail fast with an
     actionable message, not a deep ClassNotFoundException from the JVM."""
