@@ -2098,6 +2098,19 @@ def q105_schema_evolution_audit(spark, sf_dir):
     )
 
 
+def q106_transition_matrix(spark, sf_dir):
+    """First-order Markov next-event transition matrix per user: top-5
+    next states per state with exact counts and true probabilities (the
+    denominator spans ALL outgoing transitions, not just survivors). One
+    corpus shuffle — lead window on user; the count agg and the top-k run
+    over the tiny state-vocabulary matrix."""
+    from java9_gc_log_parser_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    return transition_matrix(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4577,6 +4590,27 @@ FROM e
 """
 
 
+_ORACLES["q106_transition_matrix"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS src_event,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS dst_event
+  FROM events
+), c AS (
+  SELECT src_event, dst_event, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst_event IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT *, SUM(n) OVER (PARTITION BY src_event) AS tot,
+         ROW_NUMBER() OVER (PARTITION BY src_event
+                            ORDER BY n DESC, dst_event ASC) AS rk
+  FROM c
+)
+SELECT src_event, dst_event, n, CAST(rk AS INT) AS rk,
+       ROUND(n::DOUBLE / tot::DOUBLE, 6) AS prob
+FROM r WHERE rk <= 5
+"""
+
 _ORACLES["q105_schema_evolution_audit"] = """
 SELECT CAST(1 + (doc_id % 2) AS INT) AS batch,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -4795,6 +4829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_triangle_count": q103_triangle_count,
         "q104_edit_distance_join": q104_edit_distance_join,
         "q105_schema_evolution_audit": q105_schema_evolution_audit,
+        "q106_transition_matrix": q106_transition_matrix,
     }
 
 

@@ -198,3 +198,72 @@ def cohort_retention(
         "retention",
         F.round(F.col("n_users").cast("double") / F.col("cohort_size").cast("double"), 6),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    actor: str = "user_id",
+    event: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-actor event
+    sequences: for every observed state, the ``top_k`` next states by
+    transition count with the exact transition probability — the "what do
+    users do after X" path-analysis rollup (and the empirical transition
+    model a session-simulator or next-event prior trains on).
+
+    Output: ``(src_event, dst_event, n, rk, prob)`` — ``rk`` the dense
+    1..top_k rank by (count desc, dst asc), ``prob`` = n / Σ n over the
+    src's FULL outgoing row (denominator includes transitions beyond the
+    top_k cut, so probabilities are true probabilities, not
+    renormalized-over-survivors).
+
+    Determinism contract: sequences are totally ordered by (ts integer
+    micros, ``tiebreak``); probability is one BIGINT/BIGINT division
+    rounded to 6 dp at the boundary.
+
+    Scale shape (100 TB): ONE corpus shuffle — the lead window partitions
+    by actor; the (src, dst) count agg that follows is map-combinable, so
+    the second exchange moves one row per observed (src, dst) pair (state
+    vocabulary squared, not events). Per-src totals and the top-k are a
+    window + WindowGroupLimit over that tiny matrix. A bot actor with
+    10^8 events costs one linear window run — O(1) state per row.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    w = Window.partitionBy(actor).orderBy(
+        F.unix_micros(F.col(ts).cast("timestamp")), tiebreak
+    )
+    pairs = (
+        events.select(
+            F.col(actor),
+            F.col(event).alias("src_event"),
+            F.col(ts),
+            F.col(tiebreak),
+        )
+        .withColumn("dst_event", F.lead("src_event").over(w))
+        .filter(F.col("dst_event").isNotNull())
+    )
+    counts = pairs.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("src_event")
+    rk = Window.partitionBy("src_event").orderBy(
+        F.col("n").desc(), F.col("dst_event").asc()
+    )
+    return (
+        counts.withColumn("_tot", F.sum("n").over(tot))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "src_event",
+            "dst_event",
+            "n",
+            "rk",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("prob"),
+        )
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from java9_gc_log_parser_spark.operators.funnel import (
@@ -112,3 +114,50 @@ def test_cohort_retention_matrix(spark):
     assert got[(c0, 1)]["retention"] == 0.5
     assert got[(c1, 0)]["n_users"] == 1 and got[(c1, 0)]["retention"] == 1.0
     assert got[(c0, 0)]["cohort_ts"] is not None
+
+
+# ------------------------------------------------------ transition matrix
+
+
+def test_transition_matrix_counts_and_true_probabilities(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    # user 1: a->b->a->c ; user 2: a->b  => transitions:
+    # a->b:2, b->a:1, a->c:1, b->(none for u2's last)
+    rows = [(1, "a", ts(0), 1), (1, "b", ts(1), 2), (1, "a", ts(2), 3),
+            (1, "c", ts(3), 4), (2, "a", ts(0), 5), (2, "b", ts(1), 6)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {(r["src_event"], r["dst_event"]): r
+           for r in transition_matrix(df, top_k=1).collect()}
+    # top-1 per src: a->b (n=2, prob 2/3), b->a (n=1, prob 1/2)
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["prob"] == pytest.approx(2 / 3, abs=1e-6)
+    # u2's b is terminal — b's only outgoing transition is b->a
+    assert out[("b", "a")]["prob"] == pytest.approx(1.0)
+
+
+def test_transition_matrix_tiebreak_orders_same_timestamp(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # same ts: event_id orders x(1) -> y(2) deterministically
+    df = spark.createDataFrame(
+        [(1, "x", t0, 1), (1, "y", t0, 2)],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    [r] = transition_matrix(df).collect()
+    assert (r["src_event"], r["dst_event"]) == ("x", "y")
