@@ -2111,6 +2111,19 @@ def q106_transition_matrix(spark, sf_dir):
     return transition_matrix(_events(spark, sf_dir))
 
 
+def q107_touch_attribution(spark, sf_dir):
+    """First-touch/last-touch conversion attribution within a 6h horizon
+    — q63's bounded range join composed with an exact struct-argmin/max
+    credit per conversion; unattributed conversions carry
+    touch_type='(none)' so each model's rows partition the conversion
+    set. Values in exact centi-units."""
+    from java9_gc_log_parser_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    return touch_attribution(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4590,6 +4603,46 @@ FROM e
 """
 
 
+_ORACLES["q107_touch_attribution"] = """
+WITH conv AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tc, value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS tid, user_id, epoch_us(ts) AS tt,
+         event_type AS ttype
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), pairs AS (
+  SELECT c.event_id AS cid, c.value, c.tc - t.tt AS delta,
+         t.tid, t.ttype
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+   AND t.tt <= c.tc AND c.tc < t.tt + 21600000000
+), rk AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY delta ASC, tid ASC) AS rl,
+    ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY delta DESC, tid DESC) AS rf
+  FROM pairs
+), legs AS (
+  SELECT 'last_touch' AS model, ttype AS touch_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS vc
+  FROM rk WHERE rl = 1
+  UNION ALL
+  SELECT 'first_touch', ttype, CAST(FLOOR(value * 100) AS BIGINT)
+  FROM rk WHERE rf = 1
+), orph AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM conv
+  WHERE event_id NOT IN (SELECT cid FROM pairs)
+), all_legs AS (
+  SELECT * FROM legs
+  UNION ALL SELECT 'last_touch', '(none)', vc FROM orph
+  UNION ALL SELECT 'first_touch', '(none)', vc FROM orph
+)
+SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(vc) AS BIGINT) AS sum_value_centi
+FROM all_legs GROUP BY 1, 2
+"""
+
 _ORACLES["q106_transition_matrix"] = """
 WITH seq AS (
   SELECT user_id, event_type AS src_event,
@@ -4830,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_edit_distance_join": q104_edit_distance_join,
         "q105_schema_evolution_audit": q105_schema_evolution_audit,
         "q106_transition_matrix": q106_transition_matrix,
+        "q107_touch_attribution": q107_touch_attribution,
     }
 
 

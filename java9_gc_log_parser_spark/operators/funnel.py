@@ -267,3 +267,96 @@ def transition_matrix(
             ).alias("prob"),
         )
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    horizon_us: int = 21_600_000_000,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every conversion
+    is credited to the earliest (first-touch) and latest (last-touch)
+    qualifying touch event by the same user within ``horizon_us`` BEFORE
+    (or at) the conversion — the standard marketing-attribution rollup,
+    restated as a composition of this repo's bounded range join (q63
+    machinery: window-width bucket equi-joins, never an inequality-join
+    node) + an exact argmin/argmax per conversion.
+
+    Output: ``(model, touch_type, n_conversions, sum_value_centi)`` —
+    one row per (attribution model, credited touch type); conversions
+    with NO qualifying touch appear under ``touch_type='(none)'`` so the
+    rollup is a complete partition of conversions (Σ n over either model
+    equals the conversion count). Conversion values quantize to exact
+    centi-units (BIGINT floor) so sums are order-independent.
+
+    Determinism contract: credit ties (two touches at the same delta) go
+    to the smallest touch event_id for last-touch and the largest for
+    first-touch — encoded as one lexicographic struct MIN/MAX, replayed
+    by the oracle as a ROW_NUMBER over the same sort.
+
+    Scale shape (100 TB): touches and conversions are each filtered
+    map-side before any shuffle; the pair space is bounded by the range
+    join's per-(user, bucket) co-partitioning; the per-conversion credit
+    is a map-combinable struct min/max agg keyed by conversion id; the
+    final rollup is a tiny (model × touch-vocabulary) table. A bot user
+    generates pairs only within its own horizon buckets — never a
+    corpus-wide inequality join.
+    """
+    from java9_gc_log_parser_spark.operators.asof import range_join
+
+    conv = events.filter(F.col("event_type") == conversion_type)
+    touch = events.filter(F.col("event_type").isin(*touch_types))
+    pairs = range_join(
+        touch,
+        conv,
+        key="user_id",
+        ts="ts",
+        window_us=int(horizon_us),
+        left_cols=("event_id", "event_type"),
+        right_cols=("event_id", "value"),
+    )
+    credited = pairs.groupBy("r_event_id").agg(
+        F.min(
+            F.struct("delta_us", "l_event_id", "l_event_type")
+        ).alias("_last"),
+        F.max(
+            F.struct("delta_us", "l_event_id", "l_event_type")
+        ).alias("_first"),
+        F.first("r_value").alias("_v"),
+    )
+    legs = []
+    for model, pick in (("last_touch", "_last"), ("first_touch", "_first")):
+        legs.append(
+            credited.select(
+                F.lit(model).alias("model"),
+                F.col(f"{pick}.l_event_type").alias("touch_type"),
+                F.floor(F.col("_v") * 100).cast("long").alias("_vc"),
+            )
+        )
+    attributed = legs[0].unionAll(legs[1])
+    orphan = (
+        conv.join(
+            pairs.select(F.col("r_event_id").alias("event_id")).distinct(),
+            "event_id",
+            "left_anti",
+        )
+        .select(F.floor(F.col("value") * 100).cast("long").alias("_vc"))
+    )
+    orphan_legs = [
+        orphan.select(
+            F.lit(model).alias("model"),
+            F.lit("(none)").alias("touch_type"),
+            "_vc",
+        )
+        for model in ("last_touch", "first_touch")
+    ]
+    return (
+        attributed.unionAll(orphan_legs[0])
+        .unionAll(orphan_legs[1])
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum("_vc").alias("sum_value_centi"),
+        )
+    )

@@ -161,3 +161,64 @@ def test_transition_matrix_tiebreak_orders_same_timestamp(spark):
     )
     [r] = transition_matrix(df).collect()
     assert (r["src_event"], r["dst_event"]) == ("x", "y")
+
+
+# ------------------------------------------------------ touch attribution
+
+
+def _attr_ev(spark, rows):
+    import datetime
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    return spark.createDataFrame(
+        [(e, u, t, ts(s), float(v)) for e, u, t, s, v in rows],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+
+
+def test_attribution_first_vs_last_touch(spark):
+    from java9_gc_log_parser_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    # user 1: view@0, click@50, purchase@100 (value 10.0) — horizon 200s:
+    # first-touch credits view, last-touch credits click
+    df = _attr_ev(spark, [(1, 1, "view", 0, 0), (2, 1, "click", 50, 0),
+                     (3, 1, "purchase", 100, 10.0)])
+    out = {(r["model"], r["touch_type"]): r
+           for r in touch_attribution(df, horizon_us=200_000_000).collect()}
+    assert out[("first_touch", "view")]["n_conversions"] == 1
+    assert out[("last_touch", "click")]["n_conversions"] == 1
+    assert out[("first_touch", "view")]["sum_value_centi"] == 1000
+
+
+def test_attribution_horizon_excludes_stale_touch(spark):
+    from java9_gc_log_parser_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    # touch 300s before conversion, horizon 200s -> unattributed
+    df = _attr_ev(spark, [(1, 1, "view", 0, 0),
+                     (2, 1, "purchase", 300, 5.0)])
+    out = {(r["model"], r["touch_type"]): r["n_conversions"]
+           for r in touch_attribution(df, horizon_us=200_000_000).collect()}
+    assert out == {("last_touch", "(none)"): 1,
+                   ("first_touch", "(none)"): 1}
+
+
+def test_attribution_partitions_conversions_per_model(spark):
+    from java9_gc_log_parser_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    # mixed: one attributed, one orphan, cross-user isolation
+    df = _attr_ev(spark, [(1, 1, "view", 0, 0), (2, 1, "purchase", 10, 1.0),
+                     (3, 2, "purchase", 10, 2.0),
+                     (4, 3, "click", 0, 0)])
+    rows = touch_attribution(df, horizon_us=100_000_000).collect()
+    for model in ("first_touch", "last_touch"):
+        total = sum(r["n_conversions"] for r in rows if r["model"] == model)
+        assert total == 2  # every conversion counted exactly once
