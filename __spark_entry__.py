@@ -2124,6 +2124,17 @@ def q107_touch_attribution(spark, sf_dir):
     return touch_attribution(_events(spark, sf_dir))
 
 
+def q108_trend_ols(spark, sf_dir):
+    """Per-event-type OLS trend line (slope/intercept/R²) from six
+    map-combinable BIGINT moment sums — drift detection in ONE hash agg
+    over the corpus. x in exact hours, y in exact centi-units; the
+    closed-form solution derives by a fixed float op tree the oracle
+    replays bit-for-bit."""
+    from java9_gc_log_parser_spark.operators.profiling import trend_ols
+
+    return trend_ols(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4603,6 +4614,37 @@ FROM e
 """
 
 
+_ORACLES["q108_trend_ols"] = """
+WITH p AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 - 473352 AS x,
+         CAST(FLOOR(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy,
+         MAX(x) - MIN(x) AS hours_span
+  FROM p GROUP BY 1
+), c AS (
+  SELECT *, n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS cxx,
+         n * syy - sy * sy AS cyy
+  FROM m
+)
+SELECT event_type, n, hours_span,
+  ROUND(CASE WHEN cxx > 0
+        THEN (cxy::DOUBLE / cxx::DOUBLE) / 100.0 END, 6)
+    AS slope_per_hour,
+  ROUND(CASE WHEN cxx > 0
+        THEN (sy::DOUBLE / n::DOUBLE / 100.0)
+             - ((cxy::DOUBLE / cxx::DOUBLE) / 100.0)
+               * (sx::DOUBLE / n::DOUBLE) END, 6) AS intercept,
+  ROUND(CASE WHEN cxx > 0 AND cyy > 0
+        THEN (cxy::DOUBLE * cxy::DOUBLE)
+             / (cxx::DOUBLE * cyy::DOUBLE) END, 6) AS r2
+FROM c
+"""
+
 _ORACLES["q107_touch_attribution"] = """
 WITH conv AS (
   SELECT event_id, user_id, epoch_us(ts) AS tc, value
@@ -4884,6 +4926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_schema_evolution_audit": q105_schema_evolution_audit,
         "q106_transition_matrix": q106_transition_matrix,
         "q107_touch_attribution": q107_touch_attribution,
+        "q108_trend_ols": q108_trend_ols,
     }
 
 

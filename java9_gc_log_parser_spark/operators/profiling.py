@@ -268,3 +268,100 @@ def length_outlier_gate(
             & (F.col("n_tokens") <= F.col("_hi"))
         ).alias("keep"),
     )
+
+
+def trend_ols(
+    events: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    origin_hours: int = 473_352,  # 2024-01-01T00:00Z in epoch hours
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line of ``value`` over time —
+    the closed-form slope/intercept/R² from five map-combinable moment
+    sums (n, Σx, Σy, Σxy, Σx², Σy²): the per-metric drift detector that
+    answers "is this telemetry channel trending, and how fast" in ONE
+    hash aggregation over the corpus, no iteration, no sampling.
+
+    Determinism contract: x = hours since ``origin_hours`` (exact BIGINT
+    from integer division of epoch micros), y = exact centi-units; all
+    six moments are order-independent BIGINT sums, and the slope /
+    intercept / R² derive from them by a fixed float op tree rounded to
+    6 dp at the boundary — DuckDB replays bit-for-bit.
+
+    Overflow envelope: with |x| ≤ 2^20 hours (~120 years) and |y| ≤ 2^25
+    centi-units, BIGINT moment sums are exact up to ~2^18 rows per group
+    BEFORE the n·Σ products; the recorded fixtures sit >10× inside that.
+    Under Spark's ANSI mode an envelope breach FAIL-STOPS (no silent
+    wrap); the cluster-scale upgrade path is casting the six moments to
+    DECIMAL(38,0) before the products — same plan shape, one line.
+    Cross-term squares (S_xy², S_xx·S_yy) exceed any integer width, so R²
+    is computed from the three BIGINT-exact centered sums cast to double
+    — both engines' casts and IEEE ops are correctly rounded, so the
+    doubles stay bit-identical.
+
+    Output: ``(<key>, n, hours_span, slope_per_hour, intercept, r2)`` —
+    slope/intercept in VALUE units (centi scaling divided back out);
+    groups with zero x-variance return NULL slope/intercept/r2.
+    """
+    x = (
+        F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long") - F.lit(origin_hours)
+    y = F.floor(F.col(value) * 100).cast("long")
+    m = (
+        events.filter(F.col(value).isNotNull())
+        .select(F.col(key), x.alias("_x"), y.alias("_y"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_x").alias("sx"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+            (F.max("_x") - F.min("_x")).alias("hours_span"),
+        )
+    )
+    # centered sums, still exact BIGINT (ANSI fail-stop guards overflow)
+    m = m.withColumns(
+        {
+            "_cxy": F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            "_cxx": F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+            "_cyy": F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"),
+        }
+    )
+    slope_c = F.col("_cxy").cast("double") / F.col("_cxx").cast("double")
+    has_var = F.col("_cxx") > 0
+    return m.select(
+        key,
+        "n",
+        "hours_span",
+        F.round(F.when(has_var, slope_c / F.lit(100.0)), 6).alias(
+            "slope_per_hour"
+        ),
+        F.round(
+            F.when(
+                has_var,
+                (
+                    F.col("sy").cast("double") / F.col("n").cast("double")
+                    / F.lit(100.0)
+                )
+                - (slope_c / F.lit(100.0))
+                * (
+                    F.col("sx").cast("double") / F.col("n").cast("double")
+                ),
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when(
+                has_var & (F.col("_cyy") > 0),
+                (F.col("_cxy").cast("double") * F.col("_cxy").cast("double"))
+                / (
+                    F.col("_cxx").cast("double")
+                    * F.col("_cyy").cast("double")
+                ),
+            ),
+            6,
+        ).alias("r2"),
+    )

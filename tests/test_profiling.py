@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from java9_gc_log_parser_spark.operators.profiling import (
     key_skew_report,
     length_outlier_gate,
@@ -91,3 +93,54 @@ def test_value_anomaly_profile_integer_thresholds(spark):
     b = rows["B"]
     assert b["v_std"] is None and b["max_absz"] is None
     assert (b["n_over_1s"], b["n_over_2s"], b["n_over_3s"]) == (0, 0, 0)
+
+
+# --------------------------------------------------------------- OLS trend
+
+
+def test_trend_ols_recovers_exact_line(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.profiling import trend_ols
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # y = 2.5 + 0.5 * x_hours, exact at centi resolution
+    rows = [(i, t0 + datetime.timedelta(hours=h), "m", 2.5 + 0.5 * h)
+            for i, h in enumerate([0, 1, 2, 3, 10])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    [r] = trend_ols(df).collect()
+    assert r["n"] == 5 and r["hours_span"] == 10
+    assert r["slope_per_hour"] == pytest.approx(0.5, abs=1e-6)
+    assert r["intercept"] == pytest.approx(2.5, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_trend_ols_zero_variance_returns_nulls(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.profiling import trend_ols
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)  # same hour bucket
+    df = spark.createDataFrame(
+        [(1, t0, "m", 1.0), (2, t0, "m", 2.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    [r] = trend_ols(df).collect()
+    assert r["slope_per_hour"] is None and r["r2"] is None
+
+
+def test_trend_ols_flat_series_slope_zero_r2_null(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.profiling import trend_ols
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(hours=i), "m", 7.0) for i in range(4)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    [r] = trend_ols(df).collect()
+    assert r["slope_per_hour"] == 0.0
+    assert r["r2"] is None  # cyy == 0: no y-variance to explain
