@@ -2135,6 +2135,18 @@ def q108_trend_ols(spark, sf_dir):
     return trend_ols(_events(spark, sf_dir))
 
 
+def q109_pmi_collocations(spark, sf_dir):
+    """PMI collocations across the top-50 document-frequent tokens:
+    complete support-filtered pair set (no float-ordered cut), document
+    co-occurrence counted by a doc_id-co-partitioned bounded self-join —
+    pair space constant in corpus size."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4614,6 +4626,29 @@ FROM e
 """
 
 
+_ORACLES["q109_pmi_collocations"] = _DTOK + """
+, dt AS (
+  SELECT doc_id, unnest(list_distinct(ltoks)) AS tok FROM dtok
+), vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1
+  ORDER BY df DESC, tok ASC LIMIT 50
+), qual AS (
+  SELECT dt.doc_id, dt.tok, v.df FROM dt JOIN vocab v USING (tok)
+), pr AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b,
+         CAST(MIN(a.df) AS BIGINT) AS n_a,
+         CAST(MIN(b.df) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM qual a JOIN qual b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT tok_a, tok_b, n_a, n_b, n_ab,
+  ROUND(ln(n_ab::DOUBLE * nd::DOUBLE
+           / (n_a::DOUBLE * n_b::DOUBLE)), 6) AS pmi
+FROM pr, nd
+"""
+
 _ORACLES["q108_trend_ols"] = """
 WITH p AS (
   SELECT event_type,
@@ -4927,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_transition_matrix": q106_transition_matrix,
         "q107_touch_attribution": q107_touch_attribution,
         "q108_trend_ols": q108_trend_ols,
+        "q109_pmi_collocations": q109_pmi_collocations,
     }
 
 

@@ -571,3 +571,89 @@ def encoding_audit(
             | (ascii_ratio < F.lit(ascii_ratio_threshold))
         ).alias("flagged"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_vocab: int = 50,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information between the
+    ``top_vocab`` most document-frequent (lowercased) tokens, over
+    document-level co-occurrence — the "which terms travel together"
+    rollup used for phrase induction, topic seeding, and tokenizer-merge
+    candidates. PMI = ln(P(a,b) / (P(a)·P(b))) with all probabilities
+    exact document-count ratios.
+
+    Scale shape (100 TB): the vocabulary cut makes the pair space a
+    CONSTANT (≤ C(top_vocab, 2) output rows) regardless of corpus size.
+    Per doc: distinct-token projection is map-side; the qualifying-token
+    filter is a broadcast semi-join against the tiny vocab dim; pair
+    generation is a self-equi-join co-partitioned on doc_id with ≤
+    top_vocab rows per doc on each side (bounded quadratic per doc,
+    never corpus-wide); the final count agg is map-combinable over ≤
+    vocab² keys. No top-k cut on the float PMI itself — the output is
+    the complete support-filtered pair set, so no cross-engine
+    float-ordering ambiguity exists.
+
+    Output: ``(tok_a, tok_b, n_a, n_b, n_ab, pmi)`` with tok_a < tok_b,
+    ``n_ab >= min_pair_docs``; pmi rounded to 6 dp (ln of a ratio of
+    exact BIGINTs — same fixed op tree in both engines).
+    """
+    if top_vocab < 2:
+        raise ValueError(f"top_vocab must be >= 2, got {top_vocab}")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens_col(F.lower(F.col("text"))))
+        ).alias("tok"),
+    )
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(top_vocab)
+    )
+    qual = dt.join(F.broadcast(vocab), "tok")
+    pairs = (
+        qual.select("doc_id", F.col("tok").alias("tok_a"),
+                    F.col("df").alias("n_a"))
+        .join(
+            qual.select("doc_id", F.col("tok").alias("tok_b"),
+                        F.col("df").alias("n_b")),
+            "doc_id",
+        )
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("n_ab"),
+        )
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("_nd")
+    ).withColumn("_k", F.lit(1))
+    return (
+        pairs.withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("_nd").cast("double")
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -340,3 +340,57 @@ def test_histogram_quantile_bounds_and_known_values(spark):
     z = spark.range(10).select(F.lit(0).cast("long").alias("v"))
     rz = histogram_quantile(z, "v", 0.99).collect()[0]
     assert rz["est_q"] == 0 and rz["exact_q"] == 0.0
+
+
+# ------------------------------------------------------- PMI collocations
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # 4 docs; "x y" co-occur in 2 of 4 docs, each appears in 3:
+    # pmi = ln(2*4 / (3*3)) = ln(8/9); "x z": 1 co-doc (below support 2)
+    rows = [(1, "x y w"), (2, "x y"), (3, "x z"), (4, "y q z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["tok_a"], r["tok_b"]): r
+           for r in pmi_collocations(df, top_vocab=10,
+                                     min_pair_docs=2).collect()}
+    import math
+
+    assert out[("x", "y")]["n_ab"] == 2
+    assert out[("x", "y")]["n_a"] == 3 and out[("x", "y")]["n_b"] == 3
+    assert out[("x", "y")]["pmi"] == pytest.approx(
+        math.log(8 / 9), abs=1e-6
+    )
+    # below support 2: x&z share only doc 3, y&z share only doc 4
+    assert ("x", "z") not in out
+    assert ("y", "z") not in out
+
+
+def test_pmi_collocations_support_filter_and_dedup_within_doc(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # repeated token within one doc counts ONCE (document co-occurrence)
+    rows = [(1, "a b a b a b"), (2, "a b"), (3, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["tok_a"], r["tok_b"]): r["n_ab"]
+           for r in pmi_collocations(df, top_vocab=10,
+                                     min_pair_docs=1).collect()}
+    assert out[("a", "b")] == 2
+    assert out[("a", "c")] == 1
+
+
+def test_pmi_vocab_cut_excludes_rare_tokens(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # vocab of 2: only the two most frequent tokens can pair
+    rows = [(i, "hot warm rare%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, top_vocab=2, min_pair_docs=1).collect()
+    assert {(r["tok_a"], r["tok_b"]) for r in out} == {("hot", "warm")}
