@@ -2147,6 +2147,16 @@ def q109_pmi_collocations(spark, sf_dir):
     return pmi_collocations(_docs(spark, sf_dir))
 
 
+def q110_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit forensic audit of the value
+    measure: digit taken from the centi-quantized BIGINT (no float log
+    of data anywhere), all 9 digits always present, sub-centi drops
+    reported in-row. One map-combinable agg to <=9 rows."""
+    from java9_gc_log_parser_spark.operators.quality import benford_audit
+
+    return benford_audit(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4626,6 +4636,32 @@ FROM e
 """
 
 
+_ORACLES["q110_benford_audit"] = """
+WITH vc AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
+), d AS (
+  SELECT CASE WHEN v >= 1 THEN substr(CAST(v AS VARCHAR), 1, 1) END
+    AS digit
+  FROM vc
+), c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+  WHERE digit IS NOT NULL GROUP BY 1
+), tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t FROM c),
+drp AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d WHERE digit IS NULL),
+spine AS (SELECT CAST(r AS VARCHAR) AS digit FROM range(1, 10) t(r))
+SELECT CAST(spine.digit AS INT) AS digit,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+  ROUND(COALESCE(c.n, 0)::DOUBLE / t::DOUBLE, 6) AS share,
+  ROUND(log10(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)), 6)
+    AS benford_share,
+  ROUND(ABS(ROUND(COALESCE(c.n, 0)::DOUBLE / t::DOUBLE, 6)
+            - ROUND(log10(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)), 6)),
+        6) AS abs_gap,
+  nd AS n_dropped
+FROM spine LEFT JOIN c USING (digit), tot, drp
+"""
+
 _ORACLES["q109_pmi_collocations"] = _DTOK + """
 , dt AS (
   SELECT doc_id, unnest(list_distinct(ltoks)) AS tok FROM dtok
@@ -4963,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_touch_attribution": q107_touch_attribution,
         "q108_trend_ols": q108_trend_ols,
         "q109_pmi_collocations": q109_pmi_collocations,
+        "q110_benford_audit": q110_benford_audit,
     }
 
 

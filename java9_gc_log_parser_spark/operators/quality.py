@@ -151,3 +151,94 @@ def data_contract_audit(
     ]
     audit = reduce(lambda a, b: a.unionByName(b), legs)
     return audit.withColumn("ok", F.col("n_violations") == 0)
+
+
+def benford_audit(
+    events: DataFrame,
+    value: str = "value",
+) -> DataFrame:
+    """First-significant-digit (Benford) audit of a positive measure
+    column — the classic forensic screen for fabricated, clipped, or
+    unit-mangled telemetry: organically generated multiplicative
+    quantities follow P(d) = log10(1 + 1/d); a spike at one digit
+    flags synthetic fills, price floors, or unit mix-ups.
+
+    Determinism contract: the digit is taken from the CENTI-QUANTIZED
+    value (floor(value·100) as BIGINT — the repo's standard exact-money
+    contract), so digit extraction is the first character of an
+    integer's decimal rendering: identical in both engines, no float
+    log10 of data values anywhere. Multiplying by 100 never changes the
+    leading significant digit (a decimal shift); only sub-centi values
+    (floor → 0) fall out, and those are reported in the ``n_dropped``
+    column of every row so the denominator is auditable.
+
+    Output: 9 rows ``(digit, n, share, benford_share, abs_gap,
+    n_dropped)`` — share from exact counts (6 dp); ``benford_share`` the
+    closed-form expectation; digits absent from the data still appear
+    (share 0) so the audit always has all 9 rows.
+
+    Scale shape (100 TB): one map-combinable hash agg to <= 9 rows plus
+    a broadcast of the 9-row digit spine — the report never shuffles
+    data. (chi-square is one more arithmetic column downstream; kept out
+    so the output stays a pure count table.)
+    """
+    vc = F.floor(F.col(value) * 100).cast("long")
+    counted = (
+        events.filter(F.col(value).isNotNull())
+        .select(
+            F.when(vc >= 1, F.substring(vc.cast("string"), 1, 1))
+            .otherwise(F.lit(None))
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = events.sparkSession
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("string").alias("digit")
+    )
+    dropped = counted.filter(F.col("digit").isNull()).select(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dropped")
+    ).withColumn("_k", F.lit(1))
+    tot = counted.filter(F.col("digit").isNotNull()).select(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("_tot")
+    ).withColumn("_k", F.lit(1))
+    return (
+        spine.join(counted, "digit", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .join(F.broadcast(dropped), "_k")
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.log10(
+                    F.lit(1.0)
+                    + F.lit(1.0) / F.col("digit").cast("double")
+                ),
+                6,
+            ).alias("benford_share"),
+            F.round(
+                F.abs(
+                    F.round(
+                        F.col("n").cast("double")
+                        / F.col("_tot").cast("double"),
+                        6,
+                    )
+                    - F.round(
+                        F.log10(
+                            F.lit(1.0)
+                            + F.lit(1.0) / F.col("digit").cast("double")
+                        ),
+                        6,
+                    )
+                ),
+                6,
+            ).alias("abs_gap"),
+            "n_dropped",
+        )
+    )
