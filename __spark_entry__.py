@@ -2157,6 +2157,19 @@ def q110_benford_audit(spark, sf_dir):
     return benford_audit(_events(spark, sf_dir))
 
 
+def q111_source_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon token-distribution drift vs the corpus
+    (top-50 vocab + oov mass bucket): corpus work is one explode + two
+    map-combinable aggs; JSD terms quantize to nano-units so the
+    per-source sum is an order-independent BIGINT sum — immune to float
+    accumulation order across engines."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        source_divergence,
+    )
+
+    return source_divergence(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4636,6 +4649,47 @@ FROM e
 """
 
 
+_ORACLES["q111_source_divergence"] = _DTOK + """
+, st AS (SELECT source AS src, unnest(ltoks) AS tok FROM dtok),
+g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_g FROM st GROUP BY 1),
+vocab AS (SELECT tok FROM g ORDER BY n_g DESC, tok ASC LIMIT 50),
+tagged AS (
+  SELECT src,
+    CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+         ELSE '(oov)' END AS vtok
+  FROM st
+),
+sv AS (SELECT src, vtok, CAST(COUNT(*) AS BIGINT) AS n_sv
+       FROM tagged GROUP BY 1, 2),
+stot AS (SELECT src, CAST(SUM(n_sv) AS BIGINT) AS n_s FROM sv GROUP BY 1),
+gv AS (SELECT vtok, CAST(SUM(n_sv) AS BIGINT) AS n_gv FROM sv GROUP BY 1),
+gt AS (SELECT CAST(SUM(n_gv) AS BIGINT) AS n_gt FROM gv),
+spine AS (
+  SELECT stot.src, stot.n_s, gv.vtok, gv.n_gv, gt.n_gt,
+         COALESCE(sv.n_sv, 0) AS n_sv
+  FROM stot CROSS JOIN gv CROSS JOIN gt
+  LEFT JOIN sv ON sv.src = stot.src AND sv.vtok = gv.vtok
+),
+terms AS (
+  SELECT src, n_s,
+    CAST(ROUND((CASE WHEN n_sv > 0
+        THEN 0.5 * (n_sv::DOUBLE / n_s::DOUBLE)
+             * ln((n_sv::DOUBLE / n_s::DOUBLE)
+                  / ((n_sv::DOUBLE / n_s::DOUBLE
+                      + n_gv::DOUBLE / n_gt::DOUBLE) / 2.0))
+        ELSE 0.0 END
+      + 0.5 * (n_gv::DOUBLE / n_gt::DOUBLE)
+        * ln((n_gv::DOUBLE / n_gt::DOUBLE)
+             / ((n_sv::DOUBLE / n_s::DOUBLE
+                 + n_gv::DOUBLE / n_gt::DOUBLE) / 2.0))) * 1e9)
+      AS BIGINT) AS tn
+  FROM spine
+)
+SELECT src AS source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tn)::DOUBLE / 1e9, 6) AS jsd
+FROM terms GROUP BY 1
+"""
+
 _ORACLES["q110_benford_audit"] = """
 WITH vc AS (
   SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
@@ -5000,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_trend_ols": q108_trend_ols,
         "q109_pmi_collocations": q109_pmi_collocations,
         "q110_benford_audit": q110_benford_audit,
+        "q111_source_divergence": q111_source_divergence,
     }
 
 

@@ -365,3 +365,99 @@ def trend_ols(
             6,
         ).alias("r2"),
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    group: str = "source",
+    top_vocab: int = 50,
+) -> DataFrame:
+    """Per-source token-distribution drift: Jensen-Shannon divergence of
+    each source's token distribution (over the global top-``top_vocab``
+    vocabulary plus one ``(oov)`` mass bucket, so distributions always
+    sum to 1) against the corpus-wide distribution — the "which feed
+    changed" screen that catches a scraper regression or an upstream
+    format shift as a distribution move, before any downstream metric
+    notices.
+
+    Determinism contract (cross-engine): every per-term JSD contribution
+    is computed by one fixed float op tree from exact BIGINT count ratios
+    and then QUANTIZED to nano-units (ROUND(term·1e9) as BIGINT) before
+    summation — the per-source sum is an order-independent integer sum,
+    immune to float accumulation-order differences between engines; the
+    final divide+round happens once at the boundary. Terms with zero
+    source mass use the 0·ln(0) := 0 convention.
+
+    Scale shape (100 TB): the corpus-sized work is ONE token explode +
+    two map-combinable hash aggs (per-(source, vtok) and the vocab cut);
+    everything after operates on the (sources × vocab+1) spine — a few
+    hundred rows built by joining two broadcast-scale dims, never a
+    corpus shuffle. The dense spine (cross of two tiny dims) is what
+    makes missing (source, token) cells contribute their 0.5·p_g·ln 2
+    mass instead of silently vanishing.
+
+    Output: ``(<group>, n_tokens, jsd)`` — jsd in [0, ln 2], 6 dp.
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        tokens_col,
+    )
+
+    stream = docs.select(
+        F.col(group).alias("src"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    gcount = stream.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    vocab = gcount.orderBy(
+        F.col("n_g").desc(), F.col("tok").asc()
+    ).limit(top_vocab)
+    tagged = stream.join(
+        F.broadcast(vocab.select("tok", F.lit(True).alias("_in"))),
+        "tok",
+        "left",
+    ).select(
+        "src",
+        F.when(F.col("_in"), F.col("tok"))
+        .otherwise(F.lit("(oov)"))
+        .alias("vtok"),
+    )
+    sv = tagged.groupBy("src", "vtok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sv")
+    )
+    stot = sv.groupBy("src").agg(F.sum("n_sv").alias("n_s"))
+    gv = sv.groupBy("vtok").agg(F.sum("n_sv").alias("n_gv"))
+    gtot = gv.agg(F.sum("n_gv").alias("n_gt")).withColumn("_k", F.lit(1))
+    spine = (
+        stot.withColumn("_k", F.lit(1))
+        .join(gv.withColumn("_k", F.lit(1)), "_k")
+        .join(F.broadcast(gtot), "_k")
+        .join(sv, ["src", "vtok"], "left")
+        .withColumn("n_sv", F.coalesce(F.col("n_sv"), F.lit(0)))
+    )
+    p_s = F.col("n_sv").cast("double") / F.col("n_s").cast("double")
+    p_g = F.col("n_gv").cast("double") / F.col("n_gt").cast("double")
+    mid = (p_s + p_g) / F.lit(2.0)
+    term = (
+        F.when(
+            F.col("n_sv") > 0, F.lit(0.5) * p_s * F.log(p_s / mid)
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.5) * p_g * F.log(p_g / mid)
+    )
+    return (
+        spine.withColumn(
+            "_tn", F.round(term * F.lit(1e9)).cast("long")
+        )
+        .groupBy("src")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.sum("_tn").alias("_jn"),
+        )
+        .select(
+            F.col("src").alias(group),
+            F.col("n_tokens"),
+            F.round(F.col("_jn").cast("double") / F.lit(1e9), 6).alias(
+                "jsd"
+            ),
+        )
+    )

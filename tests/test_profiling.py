@@ -144,3 +144,62 @@ def test_trend_ols_flat_series_slope_zero_r2_null(spark):
     [r] = trend_ols(df).collect()
     assert r["slope_per_hour"] == 0.0
     assert r["r2"] is None  # cyy == 0: no y-variance to explain
+
+
+# ------------------------------------------------------- source JSD drift
+
+
+def test_source_divergence_identical_sources_zero(spark):
+    from java9_gc_log_parser_spark.operators.profiling import (
+        source_divergence,
+    )
+
+    rows = [(1, "a b c", "s1"), (2, "a b c", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_divergence(df).collect()}
+    assert out["s1"]["jsd"] == pytest.approx(0.0, abs=1e-6)
+    assert out["s2"]["jsd"] == pytest.approx(0.0, abs=1e-6)
+    assert out["s1"]["n_tokens"] == 3
+
+
+def test_source_divergence_disjoint_vocab_near_ln2(spark):
+    import math
+
+    from java9_gc_log_parser_spark.operators.profiling import (
+        source_divergence,
+    )
+
+    # two sources with disjoint tokens: each source's distribution is
+    # maximally far from the 50/50 global mix -> JSD touches ln 2 only
+    # asymptotically; with equal sizes it is exactly ln 2 - ln... compute:
+    # p_s over its own tokens = 1/2 each, global = 1/4 each -> JSD = ln 2 / 2?
+    rows = [(1, "aa bb", "s1"), (2, "cc dd", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["jsd"] for r in source_divergence(df).collect()}
+    # hand-computed: per source, 2 own tokens (p_s=.5, p_g=.25) and 2
+    # foreign (p_s=0, p_g=.25):
+    #   own: .5*.5*ln(.5/.375) + .5*.25*ln(.25/.375)
+    #   foreign: .5*.25*ln(.25/.125)
+    own = 0.5 * 0.5 * math.log(0.5 / 0.375) + 0.5 * 0.25 * math.log(
+        0.25 / 0.375
+    )
+    foreign = 0.5 * 0.25 * math.log(0.25 / 0.125)
+    expect = 2 * own + 2 * foreign
+    assert out["s1"] == pytest.approx(expect, abs=1e-6)
+    assert out["s2"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_source_divergence_oov_bucket_carries_tail_mass(spark):
+    from java9_gc_log_parser_spark.operators.profiling import (
+        source_divergence,
+    )
+
+    # vocab of 1: everything except the hot token lands in (oov) — the
+    # distributions still sum to 1 and a source with MORE tail mass
+    # diverges
+    rows = [(1, "hot hot hot rare1", "s1"), (2, "hot rare2 rare3", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           source_divergence(df, top_vocab=1).collect()}
+    assert out["s1"]["jsd"] > 0
+    assert out["s2"]["jsd"] > out["s1"]["jsd"]  # s2 is further from global
