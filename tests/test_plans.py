@@ -442,3 +442,52 @@ def test_pagerank_and_hybrid_search_no_cartesian(spark, sf_dir, entrymod):
         assert "CartesianProduct" not in plan, name
     plan96 = _formatted(entrymod.queries()["q96_hybrid_rrf_search"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan96  # query terms broadcast
+
+
+def test_new_round3_ops_no_cartesian_no_python(spark, sf_dir):
+    """q103/q104/q107/q109/q111: the pair-generating round-3 ops must
+    plan as bounded equi-joins — never a CartesianProduct or
+    BroadcastNestedLoopJoin over corpus-sized inputs — and keep the hot
+    path 100% JVM (no BatchEvalPython)."""
+    import __spark_entry__ as entrymod
+
+    for q in (
+        "q103_triangle_count",
+        "q104_edit_distance_join",
+        "q107_touch_attribution",
+        "q109_pmi_collocations",
+        "q111_source_divergence",
+    ):
+        df = entrymod.queries()[q](spark, sf_dir)
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan, q
+        if q != "q103_triangle_count":
+            # q103's final step combines three ONE-ROW aggregates on a
+            # constant key; Catalyst folds that to a BNLJ of single-row
+            # relations — constant-size by construction, not a corpus
+            # join. Everything upstream of it is hash equi-joins.
+            assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "BatchEvalPython" not in plan, q
+
+
+def test_trend_ols_single_agg_no_shuffle_beyond_one(spark, sf_dir):
+    """q108: the OLS trend is ONE map-combinable hash agg — exactly one
+    exchange in the whole plan (partial aggregation upstream of it)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q108_trend_ols"](spark, sf_dir)
+    plan = _formatted(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_" in plan  # map-side combine before the exchange
+
+
+def test_pmi_vocab_join_is_broadcast(spark, sf_dir):
+    """q109: the vocabulary membership join must broadcast the tiny
+    vocab dim, never shuffle the exploded token stream against it."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q109_pmi_collocations"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
