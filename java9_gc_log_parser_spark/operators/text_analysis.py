@@ -577,6 +577,7 @@ def pmi_collocations(
     docs: DataFrame,
     top_vocab: int = 50,
     min_pair_docs: int = 5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Collocation mining: pointwise mutual information between the
     ``top_vocab`` most document-frequent (lowercased) tokens, over
@@ -632,28 +633,26 @@ def pmi_collocations(
         )
         .filter(F.col("n_ab") >= min_pair_docs)
     )
-    n_docs = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("_nd")
-    ).withColumn("_k", F.lit(1))
-    return (
-        pairs.withColumn("_k", F.lit(1))
-        .join(F.broadcast(n_docs), "_k")
-        .select(
-            "tok_a",
-            "tok_b",
-            "n_a",
-            "n_b",
-            "n_ab",
-            F.round(
-                F.log(
-                    F.col("n_ab").cast("double")
-                    * F.col("_nd").cast("double")
-                    / (
-                        F.col("n_a").cast("double")
-                        * F.col("n_b").cast("double")
-                    )
-                ),
-                6,
-            ).alias("pmi"),
-        )
+    # the corpus cardinality enters as a LITERAL (one cheap count-only
+    # scan, the q95 pattern) rather than a one-row join — keeps the plan
+    # free of constant-key BroadcastNestedLoopJoin nodes
+    if n_docs is None:
+        n_docs = docs.count()
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.lit(float(n_docs))
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ),
+            6,
+        ).alias("pmi"),
     )

@@ -461,11 +461,14 @@ def test_new_round3_ops_no_cartesian_no_python(spark, sf_dir):
         df = entrymod.queries()[q](spark, sf_dir)
         plan = _formatted(df)
         assert "CartesianProduct" not in plan, q
-        if q != "q103_triangle_count":
-            # q103's final step combines three ONE-ROW aggregates on a
-            # constant key; Catalyst folds that to a BNLJ of single-row
-            # relations — constant-size by construction, not a corpus
-            # join. Everything upstream of it is hash equi-joins.
+        if q not in ("q103_triangle_count", "q111_source_divergence"):
+            # exempt by design: q103's final step combines three ONE-ROW
+            # aggregates on a constant key, and q111 densifies a spine by
+            # crossing two BROADCAST-SCALE dims (sources × vocab+1, a few
+            # hundred rows) so absent cells still contribute JSD mass.
+            # Catalyst folds both constant-key joins to BNLJ over
+            # constant-size relations — not corpus joins; everything
+            # corpus-sized upstream is hash aggs / equi-joins.
             assert "BroadcastNestedLoopJoin" not in plan, q
         assert "BatchEvalPython" not in plan, q
 
