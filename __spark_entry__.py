@@ -2170,6 +2170,19 @@ def q111_source_divergence(spark, sf_dir):
     return source_divergence(_docs(spark, sf_dir))
 
 
+def q112_exact_quantile_select(spark, sf_dir):
+    """Exact p50/p95/p99 over the corpus by two-pass distributed
+    selection: map-combinable centi-bucket histogram, driver cumsum over
+    the tiny histogram, then a pushdown-filtered TakeOrdered(k')+max in
+    the one target bucket per quantile — no global sort, no holistic
+    buffer, nothing corpus-sized ever reaches the driver."""
+    from java9_gc_log_parser_spark.operators.sketches import (
+        exact_quantile_select,
+    )
+
+    return exact_quantile_select(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4649,6 +4662,28 @@ FROM e
 """
 
 
+_ORACLES["q112_exact_quantile_select"] = """
+WITH v AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events
+  WHERE value IS NOT NULL
+), o AS (
+  SELECT vc, ROW_NUMBER() OVER (ORDER BY vc) AS rn FROM v
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+qs AS (SELECT UNNEST([0.5, 0.95, 0.99]) AS q),
+sel AS (
+  SELECT q, nn.n, CAST(FLOOR((nn.n - 1) * q) AS BIGINT) AS k
+  FROM qs, nn
+), pick AS (
+  SELECT sel.q, sel.n, sel.k, o.vc
+  FROM sel JOIN o ON o.rn = sel.k + 1
+)
+SELECT q, n, k AS rank, vc // 256 AS bucket,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+   WHERE v.vc // 256 = pick.vc // 256) AS bucket_rows,
+  vc AS value_centi, ROUND(vc / 100.0, 6) AS value
+FROM pick
+"""
+
 _ORACLES["q111_source_divergence"] = _DTOK + """
 , st AS (SELECT source AS src, unnest(ltoks) AS tok FROM dtok),
 g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_g FROM st GROUP BY 1),
@@ -5055,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_pmi_collocations": q109_pmi_collocations,
         "q110_benford_audit": q110_benford_audit,
         "q111_source_divergence": q111_source_divergence,
+        "q112_exact_quantile_select": q112_exact_quantile_select,
     }
 
 

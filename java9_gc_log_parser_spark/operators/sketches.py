@@ -365,3 +365,103 @@ def grouped_hll_distinct(
             6,
         ).alias("rel_error"),
     )
+
+
+def exact_quantile_select(
+    events: DataFrame,
+    value: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bucket_width: int = 256,
+) -> DataFrame:
+    """EXACT order statistics over the whole corpus without a global sort
+    and without per-group holistic buffers — the distributed-selection
+    counterpart to the mergeable q65 histogram sketch (factor-2 bound)
+    and the q73 per-group exact percentile (O(group) buffer): two passes,
+    both bounded.
+
+    Pass 1: a map-combinable histogram over fixed-width centi-unit
+    buckets (corpus → ≤ range/width rows). The driver cumsums that tiny
+    histogram to locate, for each requested quantile, the bucket holding
+    the target rank and the residual rank within it. Pass 2 (per
+    quantile): filter to THAT bucket (a pushdown-able range predicate —
+    at 10^12 rows the scan prunes on zone maps / q77 range clustering)
+    and take the residual-rank-th smallest via TakeOrdered(k') + max —
+    one row returns to the driver, never the bucket.
+
+    Rank contract (engine-replayable, no dependence on any built-in
+    quantile's interpolation flavor): zero-based rank k = floor((n-1)·q),
+    the LOWER order statistic of the centi-quantized values; the oracle
+    replays it as ROW_NUMBER() = k+1 over the sorted column.
+
+    Cost/skew envelope: pass 2's heap size is the residual rank k' ≤
+    bucket population. An adversarial distribution that concentrates the
+    corpus into one bucket degrades k' toward n·q — the documented
+    mitigation is recursing the same two-pass split inside the hot
+    bucket (unimplemented; one extra round per 1/width concentration
+    factor). The driver materializes only the histogram (≤ a few
+    thousand rows) and the final scalars — bounded, not corpus collect.
+
+    Output: one row per quantile ``(q, n, rank, bucket, bucket_rows,
+    value_centi, value)``.
+    """
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    for q in quantiles:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile out of range: {q}")
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    vc = F.floor(F.col(value) * 100).cast("long")
+    base = (
+        events.filter(F.col(value).isNotNull())
+        .select(vc.alias("_vc"))
+        # SQL `div` (integer floor-division), not float `/` + floor — at
+        # bucket boundaries a float quotient can land one ulp low
+        .withColumn("_b", F.expr(f"_vc div {int(bucket_width)}L"))
+    )
+    hist = (
+        base.groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .orderBy("_b")
+        .collect()
+    )
+    n = sum(r["_n"] for r in hist)
+    rows = []
+    spark = events.sparkSession
+    for q in quantiles:
+        if n == 0:
+            rows.append((float(q), 0, None, None, None, None, None))
+            continue
+        k = int((n - 1) * q)  # zero-based lower order statistic
+        cum = 0
+        target_b, before, brows = None, 0, 0
+        for r in hist:
+            if cum + r["_n"] > k:
+                target_b, before, brows = r["_b"], cum, r["_n"]
+                break
+            cum += r["_n"]
+        kp = k - before + 1  # 1-based residual rank inside the bucket
+        got = (
+            base.filter(F.col("_b") == target_b)
+            .orderBy("_vc")
+            .limit(kp)
+            .agg(F.max("_vc").alias("_v"))
+            .first()
+        )
+        v_centi = int(got["_v"])
+        rows.append(
+            (
+                float(q),
+                int(n),
+                int(k),
+                int(target_b),
+                int(brows),
+                v_centi,
+                round(v_centi / 100.0, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "q double, n long, rank long, bucket long, bucket_rows long,"
+        " value_centi long, value double",
+    )
