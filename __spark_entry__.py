@@ -2183,6 +2183,28 @@ def q112_exact_quantile_select(spark, sf_dir):
     return exact_quantile_select(_events(spark, sf_dir))
 
 
+def q113_table_stats(spark, sf_dir):
+    """ANALYZE-style per-column stats of the events table in one melt:
+    nulls, key-space min/max, and NDV by mergeable HLL audited against
+    exact distinct. Canonical engine-portable keys (epoch-micros strings
+    for ts, centi-quantized for value) remove every float/timestamp
+    formatting seam between engines."""
+    from java9_gc_log_parser_spark.operators.profiling import table_stats
+
+    ev = _events(spark, sf_dir)
+    return table_stats(
+        ev,
+        (
+            ("event_id", F.col("event_id")),
+            ("ts", F.unix_micros(F.col("ts").cast("timestamp"))),
+            ("user_id", F.col("user_id")),
+            ("event_type", F.col("event_type")),
+            ("value", F.floor(F.col("value") * 100).cast("long")),
+            ("props", F.col("props")),
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4662,6 +4684,80 @@ FROM e
 """
 
 
+_STATS_LEGS = "\nUNION ALL\n".join(
+    [
+        "SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS key"
+        " FROM events",
+        "SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events",
+        "SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events",
+        "SELECT 'event_type', event_type FROM events",
+        "SELECT 'value', CAST(CAST(FLOOR(value * 100) AS BIGINT)"
+        " AS VARCHAR) FROM events",
+        "SELECT 'props', props FROM events",
+    ]
+)
+
+_ORACLES["q113_table_stats"] = f"""
+WITH melted AS (
+  {_STATS_LEGS}
+),
+basic AS (
+  SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         MIN(key) AS min_key, MAX(key) AS max_key
+  FROM melted GROUP BY 1
+),
+pairs AS (
+  SELECT DISTINCT col, key AS item FROM melted WHERE key IS NOT NULL
+), lz AS (
+  SELECT col,
+         ('0x' || substr(md5(item), 1, 2))::INTEGER AS register,
+         length(regexp_extract(substr(md5(item), 3, 12), '^(0*)', 1)) AS z,
+         substr(md5(item), 3, 12) AS tail
+  FROM pairs
+), rk AS (
+  SELECT col, register,
+         CASE WHEN z = 12 THEN 49
+              ELSE z * 4 + 1 +
+                CASE substr(tail, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END
+         END AS rank
+  FROM lz
+),
+regs AS (SELECT col, register, MAX(rank) AS max_rank
+         FROM rk GROUP BY 1, 2),
+ag AS (SELECT col, SUM(1::BIGINT << (49 - max_rank)) AS s_int,
+              COUNT(*) AS nz FROM regs GROUP BY 1),
+ex AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       FROM pairs GROUP BY 1),
+calc AS (
+  SELECT ag.col, s_int::DOUBLE / 562949953421312.0 AS s,
+         256.0 - nz AS zeros, exact_distinct
+  FROM ag JOIN ex USING (col)
+),
+e AS (
+  SELECT col,
+         CASE WHEN ({0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                    / (s + zeros)) <= 640.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros)
+              ELSE {0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                   / (s + zeros) END AS est,
+         exact_distinct
+  FROM calc
+)
+SELECT basic.col AS column, n_rows, n_null, min_key, max_key,
+       CAST(FLOOR(ROUND(est, 6)) AS BIGINT) AS ndv_hll,
+       exact_distinct AS ndv_exact,
+       ROUND((ROUND(est, 6) - exact_distinct) / exact_distinct, 6)
+         AS rel_error
+FROM basic JOIN e ON basic.col = e.col
+"""
+
 _ORACLES["q112_exact_quantile_select"] = """
 WITH v AS (
   SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events
@@ -5091,6 +5187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_benford_audit": q110_benford_audit,
         "q111_source_divergence": q111_source_divergence,
         "q112_exact_quantile_select": q112_exact_quantile_select,
+        "q113_table_stats": q113_table_stats,
     }
 
 

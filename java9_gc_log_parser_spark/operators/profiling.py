@@ -29,7 +29,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import tokens_col
@@ -460,4 +460,74 @@ def source_divergence(
                 "jsd"
             ),
         )
+    )
+
+
+def table_stats(
+    df: DataFrame,
+    specs: tuple[tuple[str, Column], ...],
+) -> DataFrame:
+    """ANALYZE-style per-column statistics in one melt of the table — the
+    stats a cost-based optimizer (join reordering, broadcast decisions)
+    or a data-contract monitor consumes: row count, null count, key-space
+    min/max, and NDV as a mergeable HLL estimate audited against the
+    exact distinct.
+
+    ``specs`` maps each reported column to its CANONICAL KEY expression
+    (a string Column): the caller fixes the engine-portable rendering —
+    integers as decimal strings, timestamps as epoch-micros strings,
+    doubles centi-quantized — so the oracle replays NDV/min/max on
+    byte-identical keys (raw double/timestamp→string formatting differs
+    between engines; the key contract removes that seam). ``min_key`` /
+    ``max_key`` are LEXICOGRAPHIC bounds of the key space — what a
+    string-keyed zone map stores — not numeric bounds.
+
+    Scale shape (100 TB): one map-only melt (explode of a fixed
+    |specs|-slot struct array) feeds both aggs: the per-column
+    null/count/min/max rollup is map-combinable to |specs| rows; NDV
+    reuses :func:`~.sketches.grouped_hll_distinct` — shards sketch
+    independently, registers merge by max, 256 small ints per column.
+    The exact-distinct leg exists for the audit; at cluster scale only
+    the sketch side runs.
+
+    Output: one row per column ``(column, n_rows, n_null, min_key,
+    max_key, ndv_hll, ndv_exact, rel_error)``.
+    """
+    from java9_gc_log_parser_spark.operators.sketches import (
+        grouped_hll_distinct,
+    )
+
+    if not specs:
+        raise ValueError("need at least one column spec")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column"),
+                        key.cast("string").alias("key"),
+                    )
+                    for name, key in specs
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.key")
+    basic = melted.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("key").isNull().cast("long")).alias("n_null"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )
+    ndv = grouped_hll_distinct(
+        melted.filter(F.col("key").isNotNull()), "column", F.col("key")
+    )
+    return basic.join(ndv, "column").select(
+        "column",
+        "n_rows",
+        "n_null",
+        "min_key",
+        "max_key",
+        F.col("hll_estimate").alias("ndv_hll"),
+        F.col("exact_distinct").alias("ndv_exact"),
+        "rel_error",
     )

@@ -203,3 +203,43 @@ def test_source_divergence_oov_bucket_carries_tail_mass(spark):
            source_divergence(df, top_vocab=1).collect()}
     assert out["s1"]["jsd"] > 0
     assert out["s2"]["jsd"] > out["s1"]["jsd"]  # s2 is further from global
+
+
+# ------------------------------------------------------------ table stats
+
+
+def test_table_stats_nulls_bounds_and_exact_ndv(spark):
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.profiling import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "a", 3.5), (4, None, 3.5)],
+        "id long, cat string, v double",
+    )
+    out = {r["column"]: r for r in table_stats(
+        df,
+        (
+            ("id", F.col("id")),
+            ("cat", F.col("cat")),
+            ("v", F.floor(F.col("v") * 100).cast("long")),
+        ),
+    ).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["ndv_exact"] == 4
+    assert out["cat"]["n_null"] == 1 and out["cat"]["ndv_exact"] == 2
+    assert out["cat"]["min_key"] == "a" and out["cat"]["max_key"] == "b"
+    assert out["v"]["n_null"] == 1 and out["v"]["ndv_exact"] == 2
+    # lexicographic KEY bounds, by contract: "100" < "350"
+    assert out["v"]["min_key"] == "100" and out["v"]["max_key"] == "350"
+
+
+def test_table_stats_hll_close_on_wide_column(spark):
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.profiling import table_stats
+
+    df = spark.range(0, 3000).select(F.col("id"))
+    [r] = table_stats(df, (("id", F.col("id")),)).collect()
+    assert r["ndv_exact"] == 3000
+    assert abs(r["rel_error"]) < 0.2  # 256-register HLL envelope
