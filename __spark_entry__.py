@@ -2205,6 +2205,19 @@ def q113_table_stats(spark, sf_dir):
     )
 
 
+def q114_sliding_hll_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users by MERGED HLL registers — q93's
+    exact rolling WAU restated at sketch scale: each day sketched once,
+    only the (day × 256)-row register table fans into its window targets
+    and merges by elementwise max. Fan-out no longer scales with users.
+    Exact distinct kept per row as the audit."""
+    from java9_gc_log_parser_spark.operators.sketches import (
+        sliding_hll_distinct,
+    )
+
+    return sliding_hll_distinct(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4684,6 +4697,74 @@ FROM e
 """
 
 
+_ORACLES["q114_sliding_hll_distinct"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS b,
+         CAST(user_id AS VARCHAR) AS u
+  FROM events
+), lz AS (
+  SELECT b,
+         ('0x' || substr(md5(u), 1, 2))::INTEGER AS register,
+         length(regexp_extract(substr(md5(u), 3, 12), '^(0*)', 1)) AS z,
+         substr(md5(u), 3, 12) AS tail
+  FROM pairs
+), rk AS (
+  SELECT b, register,
+         CASE WHEN z = 12 THEN 49
+              ELSE z * 4 + 1 +
+                CASE substr(tail, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END
+         END AS rank
+  FROM lz
+),
+regs AS (SELECT b, register, MAX(rank) AS max_rank FROM rk GROUP BY 1, 2),
+fanned AS (
+  SELECT unnest(generate_series(b, b + 6)) AS t, register, max_rank, b
+  FROM regs
+),
+merged AS (
+  SELECT t, register, MAX(max_rank) AS mr,
+         MAX(CASE WHEN b = t THEN 1 ELSE 0 END) AS act_r
+  FROM fanned GROUP BY 1, 2
+),
+ag AS (
+  SELECT t, SUM(1::BIGINT << (49 - mr)) AS s_int, COUNT(*) AS nz,
+         MAX(act_r) AS act
+  FROM merged GROUP BY 1
+),
+ex AS (
+  SELECT t, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users_exact FROM (
+    SELECT unnest(generate_series(b, b + 6)) AS t, u FROM pairs
+  ) GROUP BY 1
+),
+calc AS (
+  SELECT ag.t, act, s_int::DOUBLE / 562949953421312.0 AS s,
+         256.0 - nz AS zeros, n_users_exact
+  FROM ag JOIN ex ON ag.t = ex.t
+),
+e AS (
+  SELECT t, act,
+         CASE WHEN ({0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                    / (s + zeros)) <= 640.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros)
+              ELSE {0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                   / (s + zeros) END AS est,
+         n_users_exact
+  FROM calc
+)
+SELECT make_timestamp(t * 86400000000) AS bucket_ts,
+       act = 1 AS has_activity,
+       n_users_exact,
+       CAST(FLOOR(ROUND(est, 6)) AS BIGINT) AS hll_estimate,
+       ROUND((ROUND(est, 6) - n_users_exact) / n_users_exact, 6)
+         AS rel_error
+FROM e
+"""
+
 _STATS_LEGS = "\nUNION ALL\n".join(
     [
         "SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS key"
@@ -5188,6 +5269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_source_divergence": q111_source_divergence,
         "q112_exact_quantile_select": q112_exact_quantile_select,
         "q113_table_stats": q113_table_stats,
+        "q114_sliding_hll_distinct": q114_sliding_hll_distinct,
     }
 
 

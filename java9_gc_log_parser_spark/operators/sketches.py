@@ -465,3 +465,118 @@ def exact_quantile_select(
         "q double, n long, rank long, bucket long, bucket_rows long,"
         " value_centi long, value double",
     )
+
+
+def sliding_hll_distinct(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    window_n: int = 7,
+) -> DataFrame:
+    """Rolling ``window_n``-bucket distinct users by MERGED HLL registers
+    — the sketch-scale restatement of q93's exact rolling WAU. The exact
+    version must fan the deduplicated (user, bucket) PAIR SET into every
+    target bucket (corpus-proportional explode) because COUNT DISTINCT
+    is not frame-subtractable; the sketch version sketches each bucket
+    once and fans only the REGISTER TABLE (buckets × 256 small rows)
+    into its targets, merging by elementwise max — the fan-out no longer
+    scales with users at all. At 10^12 turns that is the difference
+    between re-shuffling the active-user corpus ×window_n and window-
+    maxing a few-thousand-row rollup.
+
+    Same register construction / rank arithmetic / linear-counting
+    correction as q61/q100 (md5 string space — the oracle replays every
+    register exactly). Exact distinct kept per row as the audit; at
+    cluster scale only the sketch side runs.
+
+    Output: one row per TARGET bucket covered by any activity:
+    ``(bucket_ts, has_activity, n_users_exact, hll_estimate,
+    rel_error)``.
+    """
+    if window_n < 1:
+        raise ValueError(f"window_n must be >= 1, got {window_n}")
+    pairs = events.select(
+        (
+            F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(bucket_us)
+        ).cast("long").alias("_b"),
+        F.col(user).cast("string").alias("_u"),
+    ).distinct()
+    h = F.md5(F.col("_u"))
+    hx = F.substring(h, 3, 12)
+    z = F.length(F.regexp_extract(hx, "^(0*)", 1))
+    first = F.substring(hx, z + 1, 1)
+    digit_lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(z == 12, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        z * 4 + digit_lz + 1
+    )
+    regs = (
+        pairs.select(
+            "_b",
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+            .alias("register"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("_b", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    # fan the TINY register rollup (not the user corpus) into its
+    # window_n target buckets, then merge by max — register-table merge
+    fanned = regs.select(
+        F.explode(
+            F.sequence(F.col("_b"), F.col("_b") + F.lit(window_n - 1))
+        ).alias("_t"),
+        "register",
+        "max_rank",
+        F.col("_b").alias("_src"),
+    )
+    merged = fanned.groupBy("_t", "register").agg(
+        F.max("max_rank").alias("mr"),
+        F.max((F.col("_src") == F.col("_t")).cast("int")).alias("_act_r"),
+    )
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = merged.groupBy("_t").agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_RANK_BITS + 1} - mr)")
+        ).alias("_s_int"),
+        F.count(F.lit(1)).alias("_nz"),
+        F.max("_act_r").alias("_act"),
+    )
+    # exact audit leg (test scale only): q93's fan-out of the pair set
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("_b"), F.col("_b") + F.lit(window_n - 1))
+            ).alias("_t"),
+            "_u",
+        )
+        .groupBy("_t")
+        .agg(F.countDistinct("_u").cast("long").alias("n_users_exact"))
+    )
+    zeros = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (
+        F.col("_s_int").cast("double") / F.lit(float(2 ** 49)) + zeros
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw)
+    return agg.join(exact, "_t").select(
+        F.timestamp_micros(F.col("_t") * F.lit(bucket_us))
+        .cast("timestamp_ntz")
+        .alias("bucket_ts"),
+        (F.col("_act") == 1).alias("has_activity"),
+        "n_users_exact",
+        F.floor(F.round(est, 6)).cast("long").alias("hll_estimate"),
+        F.round(
+            (F.round(est, 6) - F.col("n_users_exact"))
+            / F.col("n_users_exact"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -40,3 +40,64 @@ def test_exact_quantile_duplicate_heavy_bucket(spark):
     [r] = exact_quantile_select(df, quantiles=(0.5,)).collect()
     assert r["value_centi"] == 500
     assert r["bucket_rows"] >= 900
+
+
+# ----------------------------------------------------- sliding HLL WAU
+
+
+def test_sliding_hll_tracks_exact_within_envelope(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.sketches import (
+        sliding_hll_distinct,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # 3 days, users overlap across days; window 2
+    rows = []
+    eid = 0
+    for day, users in ((0, range(0, 300)), (1, range(150, 450)),
+                       (3, range(0, 50))):
+        for u in users:
+            rows.append((eid, u, t0 + datetime.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["bucket_ts"].day: r for r in
+           sliding_hll_distinct(df, bucket_us=86_400_000_000,
+                                window_n=2).collect()}
+    # day 2 (=Jan 2) window covers days 1-2: exact = |0..449| = 450
+    assert out[2]["n_users_exact"] == 450
+    assert out[2]["has_activity"]  # day index 1 -> target Jan 2 has own data
+    # gap day Jan 3 (covers day 3 only via day-3's own? window2 target of
+    # day 3 is days 3,4) — Jan 3 covered by day-3 row? No: fan b..b+1, so
+    # target Jan 4 = day 3 + carry. Jan 3 carries day-2? day 2 absent.
+    assert out[4]["n_users_exact"] == 50
+    for r in out.values():
+        assert abs(r["rel_error"]) < 0.25  # 256-register envelope
+
+
+def test_sliding_hll_merge_equals_direct_union_sketch(spark):
+    """Merging two days' register tables by max must equal sketching the
+    union directly — the mergeability property that makes the fan-out
+    legal."""
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.sketches import (
+        sliding_hll_distinct,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, i % 500, t0 + datetime.timedelta(days=i % 2))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["bucket_ts"].day: r for r in
+           sliding_hll_distinct(df, window_n=2).collect()}
+    # day 2's window = days 1+2 = all 500 users; the merged estimate must
+    # equal the single-bucket estimate of the same 500-user set:
+    both = spark.createDataFrame(
+        [(i, i % 500, t0) for i in range(1000)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    direct = {r["bucket_ts"].day: r for r in
+              sliding_hll_distinct(both, window_n=1).collect()}
+    assert out[2]["hll_estimate"] == direct[1]["hll_estimate"]
