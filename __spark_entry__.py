@@ -2191,18 +2191,7 @@ def q113_table_stats(spark, sf_dir):
     formatting seam between engines."""
     from java9_gc_log_parser_spark.operators.profiling import table_stats
 
-    ev = _events(spark, sf_dir)
-    return table_stats(
-        ev,
-        (
-            ("event_id", F.col("event_id")),
-            ("ts", F.unix_micros(F.col("ts").cast("timestamp"))),
-            ("user_id", F.col("user_id")),
-            ("event_type", F.col("event_type")),
-            ("value", F.floor(F.col("value") * 100).cast("long")),
-            ("props", F.col("props")),
-        ),
-    )
+    return table_stats(_events(spark, sf_dir), _stats_specs())
 
 
 def q114_sliding_hll_distinct(spark, sf_dir):
@@ -2216,6 +2205,42 @@ def q114_sliding_hll_distinct(spark, sf_dir):
     )
 
     return sliding_hll_distinct(_events(spark, sf_dir))
+
+
+def _stats_specs():
+    return (
+        ("event_id", F.col("event_id")),
+        ("ts", F.unix_micros(F.col("ts").cast("timestamp"))),
+        ("user_id", F.col("user_id")),
+        ("event_type", F.col("event_type")),
+        ("value", F.floor(F.col("value") * 100).cast("long")),
+        ("props", F.col("props")),
+    )
+
+
+def q115_incremental_stats(spark, sf_dir):
+    """Incremental ANALYZE: the events table arrives as two ingest
+    batches (before/after Jan 16); each batch builds a mergeable stats
+    state (counts, bounds, HLL registers), states merge (ADD / LEAST /
+    GREATEST / MAX — associative), and the report reads the merged
+    state. The oracle computes the DIRECT stats over the full table
+    independently — equality proves the incremental merge is lossless,
+    so history never needs re-scanning."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        merge_stats_state,
+        stats_report,
+        stats_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    cut = "2024-01-16 00:00:00"
+    hist = ev.filter(F.col("ts") < F.lit(cut))
+    delta = ev.filter(F.col("ts") >= F.lit(cut))
+    merged = merge_stats_state(
+        stats_state(hist, _stats_specs()),
+        stats_state(delta, _stats_specs()),
+    )
+    return stats_report(merged)
 
 
 # --------------------------------------------------------------------------
@@ -4697,6 +4722,60 @@ FROM e
 """
 
 
+_ORACLES["q115_incremental_stats"] = f"""
+WITH melted AS (
+  {{stats_legs}}
+),
+basic AS (
+  SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         MIN(key) AS min_key, MAX(key) AS max_key
+  FROM melted GROUP BY 1
+),
+pairs AS (
+  SELECT DISTINCT col, key AS item FROM melted WHERE key IS NOT NULL
+), lz AS (
+  SELECT col,
+         ('0x' || substr(md5(item), 1, 2))::INTEGER AS register,
+         length(regexp_extract(substr(md5(item), 3, 12), '^(0*)', 1)) AS z,
+         substr(md5(item), 3, 12) AS tail
+  FROM pairs
+), rk AS (
+  SELECT col, register,
+         CASE WHEN z = 12 THEN 49
+              ELSE z * 4 + 1 +
+                CASE substr(tail, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END
+         END AS rank
+  FROM lz
+),
+regs AS (SELECT col, register, MAX(rank) AS max_rank
+         FROM rk GROUP BY 1, 2),
+ag AS (SELECT col, SUM(1::BIGINT << (49 - max_rank)) AS s_int,
+              COUNT(*) AS nz FROM regs GROUP BY 1),
+calc AS (
+  SELECT col, s_int::DOUBLE / 562949953421312.0 AS s, 256.0 - nz AS zeros
+  FROM ag
+),
+e AS (
+  SELECT col,
+         CASE WHEN ({0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                    / (s + zeros)) <= 640.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros)
+              ELSE {0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0!r}
+                   / (s + zeros) END AS est
+  FROM calc
+)
+SELECT basic.col AS column, n_rows, n_null, min_key, max_key,
+       CAST(FLOOR(ROUND(est, 6)) AS BIGINT) AS ndv_hll
+FROM basic JOIN e ON basic.col = e.col
+""".replace("{stats_legs}", "PLACEHOLDER_STATS_LEGS")
+
 _ORACLES["q114_sliding_hll_distinct"] = f"""
 WITH pairs AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS b,
@@ -4838,6 +4917,11 @@ SELECT basic.col AS column, n_rows, n_null, min_key, max_key,
          AS rel_error
 FROM basic JOIN e ON basic.col = e.col
 """
+
+# q115 shares the melted-legs fragment with q113 (defined just above)
+_ORACLES["q115_incremental_stats"] = _ORACLES[
+    "q115_incremental_stats"
+].replace("PLACEHOLDER_STATS_LEGS", _STATS_LEGS)
 
 _ORACLES["q112_exact_quantile_select"] = """
 WITH v AS (
@@ -5270,6 +5354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_exact_quantile_select": q112_exact_quantile_select,
         "q113_table_stats": q113_table_stats,
         "q114_sliding_hll_distinct": q114_sliding_hll_distinct,
+        "q115_incremental_stats": q115_incremental_stats,
     }
 
 

@@ -531,3 +531,93 @@ def table_stats(
         F.col("exact_distinct").alias("ndv_exact"),
         "rel_error",
     )
+
+
+def stats_state(
+    df: DataFrame, specs: tuple[tuple[str, Column], ...]
+) -> tuple[DataFrame, DataFrame]:
+    """MERGEABLE form of :func:`table_stats`: returns ``(basics,
+    registers)`` state tables — basics ``(column, n_rows, n_null,
+    min_key, max_key)`` and the HLL register table ``(column, register,
+    max_rank)``. Persist both per ingest batch; history never re-scans.
+    """
+    from java9_gc_log_parser_spark.operators.sketches import (
+        hll_register_table,
+    )
+
+    if not specs:
+        raise ValueError("need at least one column spec")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column"),
+                        key.cast("string").alias("key"),
+                    )
+                    for name, key in specs
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.key")
+    basics = melted.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("key").isNull().cast("long")).alias("n_null"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )
+    regs = hll_register_table(
+        melted.filter(F.col("key").isNotNull()), ("column",), F.col("key")
+    )
+    return basics, regs
+
+
+def merge_stats_state(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two stats states — the incremental-ANALYZE step: counts
+    ADD, bounds LEAST/GREATEST, registers MAX. Associative and
+    commutative, so a 10-year history folds batch by batch; a full
+    re-scan is never needed (and the q115 oracle proves merge == direct
+    by computing the direct stats independently)."""
+    ab, ar = a
+    bb, br = b
+    basics = (
+        ab.unionByName(bb)
+        .groupBy("column")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_null").cast("long").alias("n_null"),
+            F.min("min_key").alias("min_key"),
+            F.max("max_key").alias("max_key"),
+        )
+    )
+    regs = (
+        ar.unionByName(br)
+        .groupBy("column", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    return basics, regs
+
+
+def stats_report(
+    state: tuple[DataFrame, DataFrame]
+) -> DataFrame:
+    """Final report from a (possibly merged) stats state: ``(column,
+    n_rows, n_null, min_key, max_key, ndv_hll)`` — the q113 report minus
+    the exact-audit leg, which needs raw rows and exists only at test
+    scale (q115's oracle supplies it from the full table instead)."""
+    from java9_gc_log_parser_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    basics, regs = state
+    est = hll_estimate_from_registers(regs, ("column",))
+    return basics.join(est, "column").select(
+        "column",
+        "n_rows",
+        "n_null",
+        "min_key",
+        "max_key",
+        F.col("hll_estimate").alias("ndv_hll"),
+    )

@@ -580,3 +580,69 @@ def sliding_hll_distinct(
             6,
         ).alias("rel_error"),
     )
+
+
+def hll_register_table(
+    df: DataFrame, group_cols: tuple[str, ...], item: Column
+) -> DataFrame:
+    """MERGEABLE HLL state: (group..., register, max_rank) rows from the
+    distinct items per group — the same md5 string-space construction as
+    q61/q100/q114, exposed as a reusable state table so callers can
+    PERSIST it and merge later batches by elementwise max instead of
+    re-scanning history (see profiling.merge_stats_state / q115).
+    """
+    pairs = df.select(
+        *group_cols, item.cast("string").alias("_item")
+    ).distinct()
+    h = F.md5(F.col("_item"))
+    hx = F.substring(h, 3, 12)
+    z = F.length(F.regexp_extract(hx, "^(0*)", 1))
+    first = F.substring(hx, z + 1, 1)
+    digit_lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(z == 12, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        z * 4 + digit_lz + 1
+    )
+    return (
+        pairs.select(
+            *group_cols,
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+            .alias("register"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """Estimate per group from a (group..., register, max_rank) state
+    table — standard estimator + linear-counting correction, the same
+    6-dp float contract as q61/q100 so oracles replay it exactly.
+    Output: (group..., hll_estimate)."""
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_RANK_BITS + 1} - max_rank)")
+        ).alias("_s_int"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    zeros = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (
+        F.col("_s_int").cast("double") / F.lit(float(2 ** 49)) + zeros
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.floor(F.round(est, 6)).cast("long").alias("hll_estimate"),
+    )

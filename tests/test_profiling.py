@@ -243,3 +243,45 @@ def test_table_stats_hll_close_on_wide_column(spark):
     [r] = table_stats(df, (("id", F.col("id")),)).collect()
     assert r["ndv_exact"] == 3000
     assert abs(r["rel_error"]) < 0.2  # 256-register HLL envelope
+
+
+# ---------------------------------------------------- incremental stats
+
+
+def test_stats_merge_is_order_independent_and_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.profiling import (
+        merge_stats_state,
+        stats_report,
+        stats_state,
+        table_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 37}", float(i % 11)) for i in range(300)],
+        "id long, cat string, v double",
+    )
+    specs = (
+        ("id", F.col("id")),
+        ("cat", F.col("cat")),
+        ("v", F.floor(F.col("v") * 100).cast("long")),
+    )
+    b1 = df.filter(F.col("id") < 100)
+    b2 = df.filter((F.col("id") >= 100) & (F.col("id") < 200))
+    b3 = df.filter(F.col("id") >= 200)
+    s1, s2, s3 = (stats_state(b, specs) for b in (b1, b2, b3))
+
+    def rows(state):
+        return sorted(map(tuple, stats_report(state).collect()))
+
+    left = rows(merge_stats_state(merge_stats_state(s1, s2), s3))
+    right = rows(merge_stats_state(s1, merge_stats_state(s2, s3)))
+    assert left == right  # associativity
+    # merged incremental == direct full-table stats (minus exact audit)
+    direct = sorted(
+        (r["column"], r["n_rows"], r["n_null"], r["min_key"],
+         r["max_key"], r["ndv_hll"])
+        for r in table_stats(df, specs).collect()
+    )
+    assert left == direct
