@@ -2243,6 +2243,35 @@ def q115_incremental_stats(spark, sf_dir):
     return stats_report(merged)
 
 
+def q116_salted_join(spark, sf_dir):
+    """Explicit salt-replicated skew join: events × md5-derived user-tier
+    dim on (user_id, salt) with the dim replicated 8×, then a per-tier
+    rollup. The salt is a deterministic xxhash64 of event_id — it cancels
+    semantically, so the oracle runs the UNSALTED join: equality is the
+    correctness proof that the rewrite is lossless."""
+    from java9_gc_log_parser_spark.operators.enrich import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = ev.select("user_id").distinct().withColumn(
+        "tier",
+        F.substring(
+            F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        ),
+    )
+    return (
+        salted_join(ev, dim, "user_id", "event_id", n_salts=8)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_value_centi"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4722,6 +4751,19 @@ FROM e
 """
 
 
+_ORACLES["q116_salted_join"] = """
+WITH dim AS (
+  SELECT DISTINCT user_id,
+         substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 1) AS tier
+  FROM events
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_centi
+FROM events JOIN dim USING (user_id)
+GROUP BY 1
+"""
+
 _ORACLES["q115_incremental_stats"] = f"""
 WITH melted AS (
   {{stats_legs}}
@@ -5355,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_table_stats": q113_table_stats,
         "q114_sliding_hll_distinct": q114_sliding_hll_distinct,
         "q115_incremental_stats": q115_incremental_stats,
+        "q116_salted_join": q116_salted_join,
     }
 
 

@@ -22,3 +22,41 @@ def enrich(df: DataFrame, with_role: bool = True, with_tool: bool = True) -> Dat
     if with_tool and "tool" in df.columns:
         out = out.join(F.broadcast(tool_dim(spark)), "tool", "left")
     return out
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with EXPLICIT salt replication — the manual
+    skew-join rewrite for the case neither broadcast nor AQE covers: a
+    dim too large to broadcast and a fact key so hot that one reducer
+    would own it. The fact side derives a deterministic salt
+    ``pmod(xxhash64(<salt_from>), n_salts)`` from a stable per-row
+    column; the dim side replicates each row into all ``n_salts`` salt
+    values (a bounded ``explode(sequence(...))``); the join runs on
+    ``(key, salt)`` so a hot key's rows spread over ``n_salts`` tasks.
+
+    Semantics are EXACTLY the plain inner join — every fact row meets
+    precisely the one dim replica carrying its salt — so the oracle runs
+    the UNSALTED join and equality is the correctness proof (plus the
+    plan proof in tests/test_plans.py that the join keys include the
+    salt). Cost: dim shuffle volume × n_salts — size ``n_salts`` to the
+    observed hot-key factor (q74's skew report measures it); the fact
+    side, which dominates bytes at 10^12 rows, shuffles exactly once
+    either way. Deterministic salt (never ``rand()``) keeps retried
+    tasks and the cross-engine oracle byte-stable.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    f = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int"),
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

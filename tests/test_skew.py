@@ -123,3 +123,52 @@ def test_sessionize_single_shuffle_under_skew(spark):
     assert n >= 97
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ------------------------------------------------------------ salted join
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.enrich import salted_join
+
+    # hot key 7 holds 80% of fact rows
+    fact = spark.createDataFrame(
+        [(i, 7 if i % 10 < 8 else i % 10, float(i % 5))
+         for i in range(1000)],
+        "event_id long, user_id long, value double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"t{k}") for k in range(10)], "user_id long, tier string"
+    )
+    salted = salted_join(fact, dim, "user_id", "event_id", n_salts=8)
+    plain = fact.join(dim, "user_id")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key's rows really do carry many distinct salts
+    spread = (
+        fact.filter(F.col("user_id") == 7)
+        .select(
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert spread == 8
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    from java9_gc_log_parser_spark.operators.enrich import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 1, 1.0)], "event_id long, user_id long, value double"
+    )
+    dim = spark.createDataFrame([(1, "a")], "user_id long, tier string")
+    out = salted_join(fact, dim, "user_id", "event_id", n_salts=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "_salt" in plan  # the join really is keyed by (key, salt)
+    assert "Generate" in plan  # dim replication via explode, not a UDF
