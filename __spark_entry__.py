@@ -2272,6 +2272,19 @@ def q116_salted_join(spark, sf_dir):
     )
 
 
+def q117_ppjoin_exact_jaccard(spark, sf_dir):
+    """Globally exact all-pairs trigram-Jaccard >= 3/5 via prefix
+    filtering (AllPairs/PPJoin): candidates only through each doc's
+    RAREST shingles under a global df order — boilerplate grams generate
+    zero pairs, nothing is capped or dropped. Exact-integer fraction
+    threshold (no float ceil can shrink a boundary prefix). The oracle
+    brute-forces every pair with DuckDB's own list_intersect — proving
+    completeness and soundness independently."""
+    from java9_gc_log_parser_spark.operators.dedupe import ppjoin_pairs
+
+    return ppjoin_pairs(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4751,6 +4764,30 @@ FROM e
 """
 
 
+_ORACLES["q117_ppjoin_exact_jaccard"] = _DTOK + """
+, sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ltoks) >= 3
+      THEN list_distinct(list_transform(
+             range(1, len(ltoks) - 1),
+             i -> array_to_string(ltoks[i:i+2], ' ')))
+      ELSE [array_to_string(ltoks, ' ')] END AS s
+  FROM dtok
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+            AS BIGINT) AS uni,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s)
+                - len(list_intersect(a.s, b.s)))::DOUBLE, 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND 3 * GREATEST(len(a.s), len(b.s)) <= 5 * LEAST(len(a.s), len(b.s))
+ AND len(list_intersect(a.s, b.s)) * 5 >=
+     3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+"""
+
 _ORACLES["q116_salted_join"] = """
 WITH dim AS (
   SELECT DISTINCT user_id,
@@ -5398,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_sliding_hll_distinct": q114_sliding_hll_distinct,
         "q115_incremental_stats": q115_incremental_stats,
         "q116_salted_join": q116_salted_join,
+        "q117_ppjoin_exact_jaccard": q117_ppjoin_exact_jaccard,
     }
 
 

@@ -1273,3 +1273,131 @@ def corpus_overlap_minhash(
             "exact_jaccard"
         ),
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """GLOBALLY exact all-pairs Jaccard join by prefix filtering
+    (AllPairs/PPJoin, Bayardo et al. WWW'07) — the missing guarantee in
+    the dedup family: q18 is exact only WITHIN a (source, size-bucket)
+    block, q22/q23 are probabilistic, q78 is capped-recall containment.
+    This finds EVERY pair with shingle-Jaccard >= t across the whole
+    corpus, with candidates generated only through each document's
+    RAREST shingles.
+
+    Prefix-filter theorem: order every doc's shingle set by one global
+    (df asc, shingle asc) total order; with prefix length
+    p = |x| - ceil(t·|x|) + 1, any two sets with J >= t must share a
+    shingle inside BOTH prefixes (else, taking the order-smallest common
+    shingle c: all common shingles lie in one side's suffix, so the
+    overlap < ceil(t·|size|) <= the overlap J >= t forces — a
+    contradiction). Candidates are therefore an equi-join of prefix
+    postings; everything else is suffix and never generates a pair.
+
+    EXACT-INTEGER threshold contract: t = threshold_num/threshold_den as
+    a fraction; ceil(t·s) computes as (num·s + den - 1) div den and the
+    verify is ``inter · den >= num · union`` — no float ceil/compare
+    anywhere, so a boundary-size prefix can never shrink by a ulp (float
+    0.6·5 = 3.0000000000000004 would ceil to 4 and BREAK completeness).
+
+    Scale shape (100 TB): df ranking makes every prefix shingle globally
+    rare by construction — the posting lists the candidate join touches
+    are the SHORT tail of the df distribution, while boilerplate grams
+    (df 10^8) sit in suffixes and generate zero pairs; no cap needed, so
+    unlike q78 nothing is dropped. Corpus-sized stages: shingle explode,
+    df agg, one sort_array per doc, prefix explode (p ≤ |x| rows/doc).
+    The exact-preserving size prune ``num·max(sz) <= den·min(sz)``
+    bounds candidates further. The oracle brute-forces all pairs with
+    DuckDB's own list_intersect — independently proving completeness AND
+    soundness, like q104.
+
+    Output: ``(doc_a, doc_b, inter, uni, jaccard)``, doc_a < doc_b.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    num, den = int(threshold_num), int(threshold_den)
+    sh = with_shingles(docs, n).select(
+        "doc_id", "sh", F.size("sh").alias("sz")
+    )
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    dfreq = posts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    ordered = (
+        posts.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "g"))).alias("og")
+        )
+    )
+    pref = (
+        ordered.join(sh.select("doc_id", "sz"), "doc_id")
+        .withColumn(
+            "p",
+            F.col("sz")
+            - F.expr(f"(({num}L * sz) + {den - 1}L) div {den}L")
+            + F.lit(1),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            F.explode(
+                F.slice(F.col("og"), F.lit(1), F.col("p"))
+            ).alias("pg"),
+        )
+        .select("doc_id", "sz", F.col("pg.g").alias("g"))
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # exact-preserving size prune: J >= num/den forces
+            # num * max(size) <= den * min(size)
+            & (
+                F.lit(num)
+                * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                <= F.lit(den) * F.least(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sa"),
+        F.col("sz").alias("_za"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("_sb"),
+        F.col("sz").alias("_zb"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long"),
+        )
+        .withColumn(
+            "uni", (F.col("_za") + F.col("_zb") - F.col("inter")).cast("long")
+        )
+        .filter(F.col("inter") * F.lit(den) >= F.lit(num) * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "uni",
+            F.round(
+                F.col("inter").cast("double") / F.col("uni").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

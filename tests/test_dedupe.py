@@ -582,3 +582,64 @@ def test_corpus_overlap_signatures_merge_across_shards(spark):
         )
     ]
     assert full == part
+
+
+# ----------------------------------------------------------- PPJoin exact
+
+
+def test_ppjoin_complete_vs_brute_force(spark):
+    import itertools
+
+    from java9_gc_log_parser_spark.operators.dedupe import ppjoin_pairs
+
+    texts = [
+        "a b c d e f g h",          # 0
+        "a b c d e f g h",          # 1: dup of 0
+        "a b c d e f g x",          # 2: near 0
+        "z y x w v u t s",          # 3: far
+        "a b c",                    # 4: short
+        "a b c",                    # 5: dup of 4
+        "q r",                      # 6: below-n fallback
+        "q r",                      # 7: dup of 6
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ppjoin_pairs(df, n=3, threshold_num=3,
+                                 threshold_den=5).collect()}
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2):
+        sa, sb = shingles(a), shingles(b)
+        inter, uni = len(sa & sb), len(sa | sb)
+        if inter * 5 >= 3 * uni:
+            want[(i, j)] = round(inter / uni, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (6, 7) in got  # short-doc fallback shingle still joins
+
+
+def test_ppjoin_boundary_size_prefix_is_integer_exact(spark):
+    """|x| = 5, t = 3/5: ceil(0.6*5) must be 3 (float ceil gives 4 and
+    breaks completeness). Two 5-shingle sets sharing exactly 3 shingles
+    have J = 3/7 < 0.6 — but sets built to share ceil boundary overlap
+    at J >= 0.6 must be FOUND."""
+    from java9_gc_log_parser_spark.operators.dedupe import ppjoin_pairs
+
+    # 7 tokens -> 5 trigram shingles each; overlap 4 of 5 shingles
+    # (differ in last token): inter=4, uni=6, J=2/3 >= 0.6
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f x")],
+        "doc_id long, text string",
+    )
+    rows = ppjoin_pairs(df).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["inter"], r["uni"]) == (4, 6)
