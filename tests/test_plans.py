@@ -457,6 +457,8 @@ def test_new_round3_ops_no_cartesian_no_python(spark, sf_dir):
         "q107_touch_attribution",
         "q109_pmi_collocations",
         "q111_source_divergence",
+        "q116_salted_join",
+        "q117_ppjoin_exact_jaccard",
     ):
         df = entrymod.queries()[q](spark, sf_dir)
         plan = _formatted(df)
