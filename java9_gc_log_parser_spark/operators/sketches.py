@@ -372,6 +372,7 @@ def exact_quantile_select(
     value: str = "value",
     quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
     bucket_width: int = 256,
+    max_heap_rows: int = 100_000,
 ) -> DataFrame:
     """EXACT order statistics over the whole corpus without a global sort
     and without per-group holistic buffers — the distributed-selection
@@ -395,14 +396,19 @@ def exact_quantile_select(
 
     Cost/skew envelope: pass 2's heap size is the residual rank k' ≤
     bucket population. An adversarial distribution that concentrates the
-    corpus into one bucket degrades k' toward n·q — the documented
-    mitigation is recursing the same two-pass split inside the hot
-    bucket (unimplemented; one extra round per 1/width concentration
-    factor). The driver materializes only the histogram (≤ a few
-    thousand rows) and the final scalars — bounded, not corpus collect.
+    corpus into one bucket is handled by RECURSIVE REFINEMENT: while the
+    target bucket holds more than ``max_heap_rows`` rows and is wider
+    than one centi-unit, it is re-histogrammed at width/16 and the walk
+    repeats inside it — each round is one more tiny histogram, and a
+    width-1 bucket IS its value (every row identical), so the degenerate
+    all-one-value corpus resolves with zero TakeOrdered work. The heap
+    never exceeds max(max_heap_rows, residual rank in a width-1 bucket's
+    sibling) and the driver materializes only histograms and scalars.
 
     Output: one row per quantile ``(q, n, rank, bucket, bucket_rows,
-    value_centi, value)``.
+    value_centi, value)`` — bucket/bucket_rows always refer to the
+    TOP-LEVEL histogram (the refinement is internal), so the oracle's
+    replay is independent of how many rounds ran.
     """
     if not quantiles:
         raise ValueError("need at least one quantile")
@@ -411,6 +417,8 @@ def exact_quantile_select(
             raise ValueError(f"quantile out of range: {q}")
     if bucket_width < 1:
         raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if max_heap_rows < 1:
+        raise ValueError(f"max_heap_rows must be >= 1, got {max_heap_rows}")
     vc = F.floor(F.col(value) * 100).cast("long")
     base = (
         events.filter(F.col(value).isNotNull())
@@ -441,14 +449,46 @@ def exact_quantile_select(
                 break
             cum += r["_n"]
         kp = k - before + 1  # 1-based residual rank inside the bucket
-        got = (
-            base.filter(F.col("_b") == target_b)
-            .orderBy("_vc")
-            .limit(kp)
-            .agg(F.max("_vc").alias("_v"))
-            .first()
-        )
-        v_centi = int(got["_v"])
+        # recursive refinement: narrow [lo, hi) until the residual work
+        # fits the heap budget or a width-1 bucket pins the value
+        lo = target_b * bucket_width
+        hi = lo + bucket_width
+        width = bucket_width
+        sub_rows = brows
+        while sub_rows > max_heap_rows and width > 1:
+            width = max(1, width // 16)
+            sub = (
+                base.filter(
+                    (F.col("_vc") >= lo) & (F.col("_vc") < hi)
+                )
+                .withColumn("_sb", F.expr(f"_vc div {int(width)}L"))
+                .groupBy("_sb")
+                .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+                .orderBy("_sb")
+                .collect()
+            )
+            cum2 = 0
+            for r in sub:
+                if cum2 + r["_n"] > kp - 1:
+                    lo = r["_sb"] * width
+                    hi = lo + width
+                    kp = kp - cum2
+                    sub_rows = r["_n"]
+                    break
+                cum2 += r["_n"]
+        if hi - lo == 1:
+            v_centi = int(lo)  # a width-1 bucket IS its value
+        else:
+            got = (
+                base.filter(
+                    (F.col("_vc") >= lo) & (F.col("_vc") < hi)
+                )
+                .orderBy("_vc")
+                .limit(kp)
+                .agg(F.max("_vc").alias("_v"))
+                .first()
+            )
+            v_centi = int(got["_v"])
         rows.append(
             (
                 float(q),

@@ -101,3 +101,33 @@ def test_sliding_hll_merge_equals_direct_union_sketch(spark):
     direct = {r["bucket_ts"].day: r for r in
               sliding_hll_distinct(both, window_n=1).collect()}
     assert out[2]["hll_estimate"] == direct[1]["hll_estimate"]
+
+
+def test_exact_quantile_refinement_under_concentration(spark):
+    """Adversarial concentration: 10k rows in one top-level bucket with a
+    tiny heap budget — refinement must recurse and still return the
+    exact order statistic; the all-identical case resolves via the
+    width-1 shortcut with no TakeOrdered at all."""
+    from java9_gc_log_parser_spark.operators.sketches import (
+        exact_quantile_select,
+    )
+
+    # concentrated: values 1.00..1.99 (all in top bucket 0 at width 256)
+    vals = [1.0 + (i % 100) / 100.0 for i in range(10_000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    [r] = exact_quantile_select(
+        df, quantiles=(0.5,), max_heap_rows=50
+    ).collect()
+    centi = sorted(int(round(v * 100)) for v in vals)
+    assert r["value_centi"] == centi[(len(centi) - 1) // 2]
+
+    # degenerate: every row identical — width-1 shortcut
+    same = spark.createDataFrame(
+        [(i, 7.77) for i in range(5000)], "event_id long, value double"
+    )
+    [s] = exact_quantile_select(
+        same, quantiles=(0.99,), max_heap_rows=10
+    ).collect()
+    assert s["value_centi"] == 777
