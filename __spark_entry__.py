@@ -2285,6 +2285,18 @@ def q117_ppjoin_exact_jaccard(spark, sf_dir):
     return ppjoin_pairs(_docs(spark, sf_dir))
 
 
+def q118_seasonal_anomaly(spark, sf_dir):
+    """Hour-of-day seasonal anomaly screen: each (type, day, hour)
+    cell's mean tested at 2σ against the LEAVE-ONE-OUT baseline of the
+    same hour across all other days — exact BIGINT moments, pure
+    integer LOO subtraction, one corpus agg + a tiny rollup join."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        seasonal_anomaly,
+    )
+
+    return seasonal_anomaly(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4764,6 +4776,42 @@ FROM e
 """
 
 
+_ORACLES["q118_seasonal_anomaly"] = """
+WITH cells AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_d,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS s_d,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)
+             * CAST(FLOOR(value * 100) AS BIGINT)) AS q_d
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, hour, SUM(n_d) AS n_t, SUM(s_d) AS s_t,
+         SUM(q_d) AS q_t
+  FROM cells GROUP BY 1, 2
+), j AS (
+  SELECT c.*, t.n_t - c.n_d AS n_b, t.s_t - c.s_d AS s_b,
+         t.q_t - c.q_d AS q_b
+  FROM cells c JOIN tot t USING (event_type, hour)
+)
+SELECT event_type, day, hour, n_d AS n_day,
+  ROUND((s_d::DOUBLE / n_d::DOUBLE) / 100.0, 6) AS mean_day,
+  ROUND(CASE WHEN n_b > 0 THEN (s_b::DOUBLE / n_b::DOUBLE) / 100.0 END,
+        6) AS mean_base,
+  CASE WHEN n_b >= 2 AND
+            (n_b::DOUBLE * q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+            / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) > 0
+       THEN (s_d::DOUBLE / n_d::DOUBLE - s_b::DOUBLE / n_b::DOUBLE)
+            * (s_d::DOUBLE / n_d::DOUBLE - s_b::DOUBLE / n_b::DOUBLE)
+            > 4.0 * (n_b::DOUBLE * q_b::DOUBLE
+                     - s_b::DOUBLE * s_b::DOUBLE)
+                  / (n_b::DOUBLE * (n_b::DOUBLE - 1.0))
+       ELSE NULL END AS is_anomaly
+FROM j
+"""
+
 _ORACLES["q117_ppjoin_exact_jaccard"] = _DTOK + """
 , sh AS (
   SELECT doc_id,
@@ -5436,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_incremental_stats": q115_incremental_stats,
         "q116_salted_join": q116_salted_join,
         "q117_ppjoin_exact_jaccard": q117_ppjoin_exact_jaccard,
+        "q118_seasonal_anomaly": q118_seasonal_anomaly,
     }
 
 

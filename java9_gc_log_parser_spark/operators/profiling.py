@@ -621,3 +621,95 @@ def stats_report(
         "max_key",
         F.col("hll_estimate").alias("ndv_hll"),
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Seasonality-aware anomaly screen: each (key, DAY, hour-of-day)
+    cell's mean is tested against the LEAVE-ONE-OUT baseline of the same
+    (key, hour-of-day) across all OTHER days — "is tonight's 3am error
+    rate anomalous FOR 3am", the comparison q98's global z-score cannot
+    make (a nightly batch spike is normal at 03:00 and an incident at
+    15:00). Flag: |mean_day − mean_baseline| > 2·σ_baseline.
+
+    Determinism contract: all moments (n, Σcenti, Σcenti²) are exact
+    BIGINT sums per (key, day, hour); the leave-one-out baseline is pure
+    integer subtraction of the day's own moments from the (key, hour)
+    totals — no day leaks into its own baseline. The 2σ comparison and
+    the reported means are computed from those integers by one fixed
+    float op tree (products exceed BIGINT range at corpus scale, and
+    identical IEEE inputs+ops give identical doubles in both engines);
+    rounding to 6 dp happens only at the output boundary.
+
+    Scale shape (100 TB): ONE map-combinable hash agg to the (key × days
+    × 24)-row cell table; the (key, hour) totals and the LOO subtraction
+    are a second agg + join over that tiny rollup — the corpus is
+    touched once. Cells with a degenerate baseline (< 2 other-day rows
+    or zero variance) report NULL flag rather than a fake verdict.
+
+    Output: ``(<key>, day, hour, n_day, mean_day, mean_base,
+    is_anomaly)`` per observed cell.
+    """
+    cells = (
+        events.filter(F.col(value).isNotNull())
+        .select(
+            F.col(key),
+            F.expr(
+                f"unix_micros(cast({ts} as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+            F.expr(
+                f"(unix_micros(cast({ts} as timestamp))"
+                " div 3600000000) % 24"
+            ).cast("int").alias("hour"),
+            F.floor(F.col(value) * 100).cast("long").alias("_vc"),
+        )
+        .groupBy(key, "day", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_d"),
+            F.sum("_vc").alias("s_d"),
+            F.sum(F.col("_vc") * F.col("_vc")).alias("q_d"),
+        )
+    )
+    totals = cells.groupBy(key, "hour").agg(
+        F.sum("n_d").alias("n_t"),
+        F.sum("s_d").alias("s_t"),
+        F.sum("q_d").alias("q_t"),
+    )
+    j = cells.join(totals, [key, "hour"])
+    n_b = F.col("n_t") - F.col("n_d")
+    s_b = F.col("s_t") - F.col("s_d")
+    q_b = F.col("q_t") - F.col("q_d")
+    # fixed float op tree from exact integers (see docstring); the n_b
+    # guards are explicit — under ANSI a double division by zero
+    # fail-stops rather than yielding NaN, and the empty-baseline cell
+    # must report NULL, not crash
+    mean_d = F.col("s_d").cast("double") / F.col("n_d").cast("double")
+    mean_b = F.when(
+        n_b > 0, s_b.cast("double") / n_b.cast("double")
+    )
+    var_b = F.when(
+        n_b >= 2,
+        (
+            n_b.cast("double") * q_b.cast("double")
+            - s_b.cast("double") * s_b.cast("double")
+        )
+        / (n_b.cast("double") * (n_b.cast("double") - F.lit(1.0))),
+    )
+    diff = mean_d - mean_b
+    flag = F.when(
+        (n_b >= 2) & (var_b > 0), diff * diff > F.lit(4.0) * var_b
+    ).otherwise(F.lit(None).cast("boolean"))
+    return j.select(
+        key,
+        "day",
+        "hour",
+        F.col("n_d").alias("n_day"),
+        F.round(mean_d / F.lit(100.0), 6).alias("mean_day"),
+        F.round(mean_b / F.lit(100.0), 6).alias("mean_base"),
+        flag.alias("is_anomaly"),
+    )

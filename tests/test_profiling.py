@@ -285,3 +285,54 @@ def test_stats_merge_is_order_independent_and_equals_direct(spark):
         for r in table_stats(df, specs).collect()
     )
     assert left == direct
+
+
+# ------------------------------------------------------- seasonal anomaly
+
+
+def test_seasonal_anomaly_flags_only_the_off_pattern_cell(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.profiling import (
+        seasonal_anomaly,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hour 3 baseline: ~10.0 on days 0..9; day 5 spikes to 100.0
+    for day in range(10):
+        for i in range(5):
+            v = 100.0 if day == 5 else 10.0 + (i % 3) * 0.01
+            rows.append(
+                (eid, "m", t0 + datetime.timedelta(days=day, hours=3,
+                                                   minutes=i), v)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {(r["day"], r["hour"]): r for r in seasonal_anomaly(df).collect()}
+    days = sorted(d for d, _ in out)
+    spike_day = days[5]
+    assert out[(spike_day, 3)]["is_anomaly"] is True
+    normal = [r for (d, _), r in out.items() if d != spike_day]
+    assert all(r["is_anomaly"] is False for r in normal)
+    assert out[(spike_day, 3)]["mean_day"] == 100.0
+
+
+def test_seasonal_anomaly_degenerate_baseline_is_null(spark):
+    import datetime
+
+    from java9_gc_log_parser_spark.operators.profiling import (
+        seasonal_anomaly,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # hour 7 exists on one day only: baseline empty -> NULL flag
+    df = spark.createDataFrame(
+        [(1, "m", t0 + datetime.timedelta(hours=7), 5.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    [r] = seasonal_anomaly(df).collect()
+    assert r["is_anomaly"] is None
