@@ -2297,6 +2297,18 @@ def q118_seasonal_anomaly(spark, sf_dir):
     return seasonal_anomaly(_events(spark, sf_dir))
 
 
+def q119_ann_recall(spark, sf_dir):
+    """ANN quality-evaluation harness: per-query recall@5 of the
+    sign-LSH leg against the brute-force exact top-5 — the reindex
+    health check that turns the LSH recall trade-off into an oracled
+    metric. Queries whose bucket is empty report recall 0 visibly."""
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    return ann_recall_report(_embs(spark, sf_dir), k=5)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4776,6 +4788,59 @@ FROM e
 """
 
 
+_ORACLES["q119_ann_recall"] = _EMB + f"""
+, eb AS (
+  SELECT *,
+    (CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM e
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a="q.emb", b="c.emb")} AS cos
+      FROM e q, e c
+      WHERE q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+    )
+  ) WHERE rk <= 5
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a="q.emb", b="c.emb")} AS cos
+      FROM eb q, eb c
+      WHERE q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+        AND q.bucket = c.bucket
+    )
+  ) WHERE rk <= 5
+),
+per_q AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+),
+ap_n AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+  FROM approx GROUP BY 1
+)
+SELECT per_q.query_id, n_exact, COALESCE(n_approx, 0) AS n_approx,
+       n_hit, ROUND(n_hit::DOUBLE / 5.0, 6) AS recall_at_k
+FROM per_q LEFT JOIN ap_n ON per_q.query_id = ap_n.query_id
+"""
+
 _ORACLES["q118_seasonal_anomaly"] = """
 WITH cells AS (
   SELECT event_type,
@@ -5485,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_salted_join": q116_salted_join,
         "q117_ppjoin_exact_jaccard": q117_ppjoin_exact_jaccard,
         "q118_seasonal_anomaly": q118_seasonal_anomaly,
+        "q119_ann_recall": q119_ann_recall,
     }
 
 

@@ -320,3 +320,61 @@ def embedding_near_dup_pairs(
         F.col("b.vec_id").alias("vec_b"),
         cos.alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    k: int = 5,
+    dims: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """ANN QUALITY EVALUATION harness: per-query recall@k of the sign-LSH
+    leg (q20) against the exact brute-force top-k ground truth (q19) —
+    the measurement that turns "LSH trades recall for cost" from a
+    docstring claim into an ORACLED metric. This is the query a platform
+    runs on a sampled slice after every reindex: if recall drifts, the
+    bucket geometry no longer fits the embedding distribution.
+
+    Output per query: ``(query_id, n_exact, n_approx, n_hit,
+    recall_at_k)`` — ``n_hit`` counts exact-top-k neighbors the approx
+    leg also returned; ``recall_at_k = n_hit / k`` (6 dp). A query whose
+    bucket holds nothing but itself reports ``n_approx = 0, recall 0``
+    — visible, not silently dropped (the exact side is the spine).
+
+    Scale shape: both legs are the existing operators (broadcast query
+    side, bucket-restricted candidates); the comparison itself joins two
+    (queries × k)-row results — negligible. At 100 TB one runs this on
+    a sampled query slice; the slice predicate is the operators'
+    ``query_pred``.
+    """
+    exact = ann_topk_bruteforce(embeddings, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_topk_lsh(embeddings, k=k, dims=dims).select(
+        "query_id", "neighbor_id"
+    )
+    j = exact.join(
+        approx.withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("_hit").isNotNull().cast("long")).alias("n_hit"),
+    )
+    ap_n = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return (
+        per_q.join(ap_n, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("long").alias(
+                "n_approx"
+            ),
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
+    )

@@ -168,3 +168,46 @@ def test_ivf_partial_probe_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall  # half the cells probed; seed-pinned bound
+
+
+# --------------------------------------------------------- recall harness
+
+
+def test_ann_recall_perfect_when_lsh_bucket_holds_neighbors(spark):
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    # two tight clusters in opposite orthants: every query's true top-k
+    # lives in its own sign bucket -> recall 1.0
+    rows = []
+    for i in range(8):
+        rows.append((i * 101, [1.0 + i * 0.01, 1.0, 1.0, 1.0], "a"))
+        rows.append((i * 101 + 1, [1.0, 1.0 + i * 0.01, 1.0, 1.0], "a"))
+        rows.append((i * 101 + 2, [-1.0, -1.0, -1.0 - i * 0.01, -1.0], "b"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = ann_recall_report(df, k=3).collect()
+    assert out  # queries exist (vec_id % 101 == 0)
+    for r in out:
+        assert r["recall_at_k"] == 1.0
+        assert r["n_hit"] == r["n_exact"] == 3
+
+
+def test_ann_recall_zero_for_lone_bucket_query(spark):
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    # query 0 sits alone in its orthant: approx leg finds nothing
+    rows = [(0, [1.0, 1.0, 1.0, 1.0], "q"),
+            (1, [-1.0, -1.0, -1.0, -1.0], "c"),
+            (2, [-1.0, -1.0, -1.0, -0.9], "c")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    [r] = ann_recall_report(df, k=2).collect()
+    assert r["n_approx"] == 0
+    assert r["recall_at_k"] == 0.0
+    assert r["n_exact"] == 2  # ground truth still present (the spine)
