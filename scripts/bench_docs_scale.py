@@ -56,22 +56,33 @@ def main() -> None:
     args = ap.parse_args()
     reps = [int(x) for x in args.replicates.split(",")]
 
-    from java9_gc_log_parser_spark.operators.dedupe import dup_ngram_gate
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        dup_ngram_gate,
+        ppjoin_pairs,
+    )
     from java9_gc_log_parser_spark.operators.sampling import pack_sequences
     from java9_gc_log_parser_spark.operators.sketches import cms_heavy_hitters
     from java9_gc_log_parser_spark.session import get_spark
 
     spark = get_spark(app_name="gclp-docs-scale")
+    # leg -> (builder, max_replicate). ppjoin is capped at 10x: with
+    # UNCHANGED replicated text the TRUE exact answer is quadratic in the
+    # replication factor (every copy pairs with every copy), so the 100x
+    # point measures output size, not the operator; 1x->10x already shows
+    # whether candidate generation stays output-bound.
     legs = {
-        "pack": lambda d: pack_sequences(d, 512, 8),
-        "dupgate": lambda d: dup_ngram_gate(d, 3),
-        "cms": lambda d: cms_heavy_hitters(d, 20),
+        "pack": (lambda d: pack_sequences(d, 512, 8), None),
+        "dupgate": (lambda d: dup_ngram_gate(d, 3), None),
+        "cms": (lambda d: cms_heavy_hitters(d, 20), None),
+        "ppjoin": (lambda d: ppjoin_pairs(d, 3), 10),
     }
     out: dict = {"sf_dir": args.sf_dir, "legs": {}}
     for rep in reps:
         docs = _docs(spark, args.sf_dir, rep).persist()
         n = docs.count()  # materialize the replica outside the timers
-        for name, fn in legs.items():
+        for name, (fn, max_rep) in legs.items():
+            if max_rep is not None and rep > max_rep:
+                continue
             t0 = time.perf_counter()
             fn(docs).write.mode("overwrite").format("noop").save()
             wall = time.perf_counter() - t0
