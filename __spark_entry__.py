@@ -2309,6 +2309,20 @@ def q119_ann_recall(spark, sf_dir):
     return ann_recall_report(_embs(spark, sf_dir), k=5)
 
 
+def q120_near_dup_recall(spark, sf_dir):
+    """Pair-level recall audit of the q21 sign-LSH near-dup blocking vs
+    the exact all-pairs cosine ground truth (threshold 0.30 — the q21
+    eval threshold for these near-random synthetic embeddings): the
+    'explicit recall loss' the blocking trades for boundedness, as an
+    oracled one-row metric. LSH pairs are a verified subset, so the
+    report is exact-count arithmetic."""
+    from java9_gc_log_parser_spark.operators.similarity import (
+        near_dup_recall_report,
+    )
+
+    return near_dup_recall_report(_embs(spark, sf_dir), threshold=0.30)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4788,6 +4802,41 @@ FROM e
 """
 
 
+_ORACLES["q120_near_dup_recall"] = _EMB + f"""
+, eb AS (
+  SELECT *,
+    (CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM e
+),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_COS.format(a="a.emb", b="b.emb")} >= 0.30
+),
+lsh AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM eb a JOIN eb b
+    ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+  WHERE {_COS.format(a="a.emb", b="b.emb")} >= 0.30
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+         CAST(SUM(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_lsh_pairs
+  FROM exact x LEFT JOIN lsh l
+    ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b
+)
+SELECT n_exact_pairs, n_lsh_pairs,
+       n_exact_pairs - n_lsh_pairs AS n_missed,
+       ROUND(CASE WHEN n_exact_pairs > 0
+             THEN n_lsh_pairs::DOUBLE / n_exact_pairs::DOUBLE END, 6)
+         AS recall
+FROM agg
+"""
+
 _ORACLES["q119_ann_recall"] = _EMB + f"""
 , eb AS (
   SELECT *,
@@ -5551,6 +5600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_ppjoin_exact_jaccard": q117_ppjoin_exact_jaccard,
         "q118_seasonal_anomaly": q118_seasonal_anomaly,
         "q119_ann_recall": q119_ann_recall,
+        "q120_near_dup_recall": q120_near_dup_recall,
     }
 
 

@@ -378,3 +378,78 @@ def ann_recall_report(
             ).alias("recall_at_k"),
         )
     )
+
+
+def near_dup_recall_report(
+    embeddings: DataFrame,
+    threshold: float = 0.30,
+    dims: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """Pair-level RECALL audit of the sign-LSH near-dup blocking (q21)
+    against the exact all-pairs cosine ground truth — the q119 harness's
+    sibling for the PAIR problem: q21's docstring prices its bucket
+    blocking as "explicit recall loss"; this query puts the measured
+    number in an oracled result instead of a unit-test assertion.
+
+    LSH pairs verify with the same cosine+threshold as the exact set, so
+    they are a SUBSET (precision 1 by construction — asserted, not
+    assumed, by the join below); the one-row report is
+    ``(n_exact_pairs, n_lsh_pairs, n_missed, recall)``.
+
+    Scale note: the exact leg is an all-pairs self-join — this is an
+    EVALUATION harness to run on a sampled slice (thousands of vectors),
+    exactly like ANN recall (q119); the production path stays q21. The
+    blocking's miss set is precisely the pairs whose members differ in
+    at least one of the ``dims`` sign bits.
+    """
+    e = _with_norm(embeddings)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("_emb").alias("_ea"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("_emb").alias("_eb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    exact = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb") + F.lit(EPS)),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    lsh = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, dims=dims
+    ).select("vec_a", "vec_b", F.lit(1).alias("_hit"))
+    return (
+        exact.join(lsh, ["vec_a", "vec_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+            F.sum(F.col("_hit").isNotNull().cast("long")).alias(
+                "n_lsh_pairs"
+            ),
+        )
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            (F.col("n_exact_pairs") - F.col("n_lsh_pairs")).alias(
+                "n_missed"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_exact_pairs") > 0,
+                    F.col("n_lsh_pairs").cast("double")
+                    / F.col("n_exact_pairs").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )

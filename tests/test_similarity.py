@@ -211,3 +211,36 @@ def test_ann_recall_zero_for_lone_bucket_query(spark):
     assert r["n_approx"] == 0
     assert r["recall_at_k"] == 0.0
     assert r["n_exact"] == 2  # ground truth still present (the spine)
+
+
+def test_near_dup_recall_full_when_single_orthant(spark):
+    from java9_gc_log_parser_spark.operators.similarity import (
+        near_dup_recall_report,
+    )
+
+    # all vectors in one orthant -> one bucket -> recall 1.0
+    rows = [(i, [1.0, 1.0, 1.0, 1.0 + i * 0.01], "a") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    [r] = near_dup_recall_report(df, threshold=0.9).collect()
+    assert r["n_exact_pairs"] == 15
+    assert r["n_missed"] == 0 and r["recall"] == 1.0
+
+
+def test_near_dup_recall_counts_cross_bucket_misses(spark):
+    from java9_gc_log_parser_spark.operators.similarity import (
+        near_dup_recall_report,
+    )
+
+    # two similar vectors straddling a sign boundary on dim 1: cosine is
+    # high but buckets differ -> the pair is a counted miss
+    rows = [(1, [0.01, 1.0, 1.0, 1.0], "a"),
+            (2, [-0.01, 1.0, 1.0, 1.0], "a")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    [r] = near_dup_recall_report(df, threshold=0.9).collect()
+    assert r["n_exact_pairs"] == 1
+    assert r["n_lsh_pairs"] == 0
+    assert r["n_missed"] == 1 and r["recall"] == 0.0
