@@ -2323,6 +2323,19 @@ def q120_near_dup_recall(spark, sf_dir):
     return near_dup_recall_report(_embs(spark, sf_dir), threshold=0.30)
 
 
+def q121_mad_outliers(spark, sf_dir):
+    """Robust median/MAD outlier profile per event type (modified
+    z-score 0.6745·|v−med|/MAD > 3.5) — the breakdown-point-0.5
+    complement to the moment-based q98/q118 screens: medians ignore the
+    tails the outliers themselves inflate. Exact centi quantization;
+    exact interpolating percentiles (the q73 quantile_cont contract)."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        mad_outlier_profile,
+    )
+
+    return mad_outlier_profile(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4802,6 +4815,36 @@ FROM e
 """
 
 
+_ORACLES["q121_mad_outliers"] = """
+WITH base AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS m FROM base GROUP BY 1
+), dev AS (
+  SELECT base.event_type, vc, m, ABS(vc::DOUBLE - m) AS ad
+  FROM base JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MIN(m) AS m,
+         quantile_cont(ad, 0.5) AS md
+  FROM dev GROUP BY 1
+), fl AS (
+  SELECT dev.event_type,
+         CAST(SUM(CASE WHEN md > 0 AND 0.6745 * ad > 3.5 * md
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+         MIN(md) AS md0
+  FROM dev JOIN mad USING (event_type)
+  GROUP BY 1
+)
+SELECT mad.event_type, n,
+  ROUND(mad.m / 100.0, 6) AS med,
+  ROUND(mad.md / 100.0, 6) AS mad,
+  CASE WHEN fl.md0 > 0 THEN n_out ELSE 0 END AS n_outliers,
+  ROUND(CASE WHEN fl.md0 > 0 THEN n_out::DOUBLE / n::DOUBLE END, 6)
+    AS outlier_rate
+FROM mad JOIN fl ON mad.event_type = fl.event_type
+"""
+
 _ORACLES["q120_near_dup_recall"] = _EMB + f"""
 , eb AS (
   SELECT *,
@@ -5601,6 +5644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_seasonal_anomaly": q118_seasonal_anomaly,
         "q119_ann_recall": q119_ann_recall,
         "q120_near_dup_recall": q120_near_dup_recall,
+        "q121_mad_outliers": q121_mad_outliers,
     }
 
 

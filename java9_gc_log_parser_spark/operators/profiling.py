@@ -713,3 +713,82 @@ def seasonal_anomaly(
         F.round(mean_b / F.lit(100.0), 6).alias("mean_base"),
         flag.alias("is_anomaly"),
     )
+
+
+def mad_outlier_profile(
+    events: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier profile per key — the
+    breakdown-point-0.5 complement to the two moment-based screens:
+    q98's global z-score and q118's seasonal z both use mean/variance,
+    which the outliers themselves inflate (one 10^6× spike can mask
+    every other anomaly by blowing up σ). The modified z-score
+    0.6745·|v − median| / MAD (Iglewicz–Hoaglin) is immune to that:
+    median and MAD ignore the magnitude of the tails entirely.
+
+    Determinism contract: values quantize to exact centi BIGINTs; the
+    median is Spark's exact interpolating `percentile`, which q73
+    already pins as bit-equal to DuckDB's `quantile_cont`; the absolute
+    deviations feed a second exact percentile; the flag compares one
+    fixed float op tree (0.6745·|v−med| > cutoff·MAD) on doubles both
+    engines derive identically. Keys where MAD = 0 (>half the values
+    identical) report NULL rate — the modified z is undefined there,
+    not zero.
+
+    Scale note: exact `percentile` is holistic — O(group) buffer per
+    key, the q73 trade — appropriate for per-KEY profiles where key
+    cardinality is the small dimension; for corpus-wide exact order
+    statistics use q112's two-pass selection instead.
+
+    Output: one row per key ``(<key>, n, med, mad, n_outliers,
+    outlier_rate)`` — med/mad reported in value units (6 dp).
+    """
+    base = events.filter(F.col(value).isNotNull()).select(
+        F.col(key), F.floor(F.col(value) * 100).cast("long").alias("_vc")
+    )
+    med = base.groupBy(key).agg(
+        F.percentile("_vc", F.lit(0.5)).alias("_med")
+    )
+    dev = base.join(F.broadcast(med), key).withColumn(
+        "_ad", F.abs(F.col("_vc").cast("double") - F.col("_med"))
+    )
+    mad = dev.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("_med").alias("_med2"),
+        F.percentile("_ad", F.lit(0.5)).alias("_mad"),
+    )
+    flagged = (
+        dev.join(
+            F.broadcast(mad.select(key, "_mad")), key
+        )
+        .withColumn(
+            "_out",
+            F.when(
+                F.col("_mad") > 0,
+                (F.lit(0.6745) * F.col("_ad")
+                 > F.lit(float(cutoff)) * F.col("_mad")).cast("long"),
+            ),
+        )
+        .groupBy(key)
+        .agg(F.sum("_out").alias("_n_out"))
+    )
+    return mad.join(flagged, key).select(
+        key,
+        "n",
+        F.round(F.col("_med2") / F.lit(100.0), 6).alias("med"),
+        F.round(F.col("_mad") / F.lit(100.0), 6).alias("mad"),
+        F.coalesce(F.col("_n_out"), F.lit(0)).cast("long").alias(
+            "n_outliers"
+        ),
+        F.round(
+            F.when(
+                F.col("_mad") > 0,
+                F.coalesce(F.col("_n_out"), F.lit(0)).cast("double")
+                / F.col("n").cast("double"),
+            ),
+            6,
+        ).alias("outlier_rate"),
+    )

@@ -336,3 +336,42 @@ def test_seasonal_anomaly_degenerate_baseline_is_null(spark):
     )
     [r] = seasonal_anomaly(df).collect()
     assert r["is_anomaly"] is None
+
+
+# ----------------------------------------------------- MAD robust outliers
+
+
+def test_mad_profile_robust_to_extreme_spike(spark):
+    from java9_gc_log_parser_spark.operators.profiling import (
+        mad_outlier_profile,
+        value_anomaly_profile,
+    )
+
+    # 99 values near 10, one at 10^6: MAD flags exactly the spike; the
+    # moment z-score's sigma is so inflated the spike barely clears 3σ
+    # elsewhere — the robustness contrast this operator exists for
+    vals = [10.0 + (i % 5) * 0.5 for i in range(99)] + [1_000_000.0]
+    df = spark.createDataFrame(
+        [(i, "m", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    [r] = mad_outlier_profile(df).collect()
+    assert r["n_outliers"] == 1
+    assert r["med"] == pytest.approx(11.0, abs=0.5)
+    assert r["mad"] < 2.0  # tails don't inflate the scale estimate
+
+
+def test_mad_profile_zero_mad_reports_null_rate(spark):
+    from java9_gc_log_parser_spark.operators.profiling import (
+        mad_outlier_profile,
+    )
+
+    # >half identical -> MAD 0 -> modified z undefined, not zero
+    df = spark.createDataFrame(
+        [(i, "m", 5.0) for i in range(10)] + [(99, "m", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    [r] = mad_outlier_profile(df).collect()
+    assert r["mad"] == 0.0
+    assert r["outlier_rate"] is None
+    assert r["n_outliers"] == 0
