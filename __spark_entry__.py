@@ -2340,6 +2340,21 @@ def q121_mad_outliers(spark, sf_dir):
     return mad_outlier_profile(_events(spark, sf_dir))
 
 
+def q122_classifier_gate(spark, sf_dir):
+    """Model-based quality gate: mean-pooled hashed bag-of-words linear
+    classifier logit per document (fastText/logreg architecture of the
+    GPT-3/LLaMA/FineWeb quality classifiers). Weights are a broadcast dim
+    (the model never shuffles); accumulation is exact BIGINT milli-units;
+    the gate thresholds the LOGIT (sigmoid is monotone) so no cross-engine
+    libm exp() seam exists."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        classifier_score,
+        classifier_weights,
+    )
+
+    return classifier_score(_docs(spark, sf_dir), classifier_weights(spark))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4849,6 +4864,31 @@ SELECT mad.event_type, n,
 FROM mad JOIN fl ON mad.event_type = fl.event_type
 """
 
+_ORACLES["q122_classifier_gate"] = _DTOK + """
+, tk AS (
+  SELECT doc_id, unnest(ltoks) AS tok FROM dtok
+), bw AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(tok || ':clf:v1'), 1, 4))::INTEGER % 1024) AS bucket
+  FROM tk
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((CAST(bucket AS BIGINT) * 2654435761) % 2001 - 1000)
+              AS BIGINT) AS sum_w_milli
+  FROM bw GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id,
+         COALESCE(n_tokens, 0) AS n_tokens,
+         COALESCE(sum_w_milli, 0) AS sum_w_milli,
+         ROUND(CASE WHEN COALESCE(n_tokens, 0) > 0
+           THEN 0.05 + sum_w_milli::DOUBLE / (1000.0 * n_tokens)
+           ELSE 0.05 END, 6) AS logit
+  FROM dtok d LEFT JOIN per USING (doc_id)
+)
+SELECT doc_id, n_tokens, sum_w_milli, logit, logit >= 0.0 AS keep
+FROM scored
+"""
+
 _ORACLES["q120_near_dup_recall"] = _EMB + f"""
 , eb AS (
   SELECT *,
@@ -5651,6 +5691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_ann_recall": q119_ann_recall,
         "q120_near_dup_recall": q120_near_dup_recall,
         "q121_mad_outliers": q121_mad_outliers,
+        "q122_classifier_gate": q122_classifier_gate,
     }
 
 

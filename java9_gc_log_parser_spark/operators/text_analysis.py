@@ -656,3 +656,86 @@ def pmi_collocations(
             6,
         ).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText / logistic-regression style)
+# ---------------------------------------------------------------------------
+
+CLF_DIM = 1024
+CLF_SALT = "clf:v1"
+CLF_BIAS_MILLI = 50  # bias in milli-units: logit starts at +0.05
+
+
+def classifier_weights(spark, dim: int = CLF_DIM) -> DataFrame:
+    """The classifier's weight vector as a (bucket, w_milli) dim table.
+
+    Real pipelines broadcast a *trained* model's hashed-vocab weight table
+    (fastText / logreg quality classifiers à la GPT-3/LLaMA data curation);
+    here the weights are a deterministic function of the bucket id so both
+    engines can replay them without a model artifact:
+    ``w_milli(b) = (b * 2654435761) % 2001 - 1000``  (Knuth multiplicative
+    hash, exact BIGINT, range [-1000, 1000] milli-units).
+    """
+    return spark.range(dim).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000)
+        .cast("long")
+        .alias("w_milli"),
+    )
+
+
+def classifier_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Model-based quality gate: mean-pooled hashed bag-of-words linear
+    classifier score per document (the architecture of the fastText /
+    logistic-regression quality classifiers used to curate GPT-3, LLaMA and
+    FineWeb training sets).
+
+    feature bucket = md5(token ++ ':clf:v1') first-4-hex % 1024 (the
+    "hashing trick" — vocab-size-independent, engine-portable); logit =
+    bias + mean(w[bucket(tok)]). The *logit* is thresholded, not the
+    sigmoid: sigmoid is monotone, so ``keep = logit >= 0`` is the same
+    gate while avoiding a cross-engine libm exp() seam (same reason
+    weighted_priority_sample avoids pow). All accumulation is exact
+    BIGINT milli-units; the single float division happens once per doc at
+    the end and is rounded to 6 dp.
+
+    Scale shape (100 TB): weights are a fixed-size dim (1024 rows — a real
+    2M-term vocab is still a few MB) joined BROADCAST onto the exploded
+    token stream — the model never shuffles. The only shuffle is the
+    per-doc sum, map-combinable hash agg on doc_id (docs are contiguous
+    within scan partitions, so map-side partial aggregation collapses each
+    doc to one row before the exchange). ``explode_outer`` keeps
+    empty/blank docs as a null-token row so the gate is total: every input
+    doc gets a verdict (bias-only logit), nothing silently drops.
+    """
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit(":" + CLF_SALT))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % CLF_DIM,
+    )
+    scored = bucketed.join(F.broadcast(weights), "bucket", "left")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("tok").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("w_milli"), F.lit(0)).cast("long").alias("sum_w_milli"),
+    )
+    logit = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(CLF_BIAS_MILLI / 1000.0)
+        + F.col("sum_w_milli").cast("double")
+        / (1000.0 * F.col("n_tokens").cast("double")),
+    ).otherwise(F.lit(CLF_BIAS_MILLI / 1000.0))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_w_milli",
+        F.round(logit, 6).alias("logit"),
+        (F.round(logit, 6) >= 0.0).alias("keep"),
+    )

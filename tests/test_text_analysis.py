@@ -394,3 +394,53 @@ def test_pmi_vocab_cut_excludes_rare_tokens(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = pmi_collocations(df, top_vocab=2, min_pair_docs=1).collect()
     assert {(r["tok_a"], r["tok_b"]) for r in out} == {("hot", "warm")}
+
+
+def _clf_w(tok: str) -> int:
+    b = int(hashlib.md5(f"{tok}:clf:v1".encode()).hexdigest()[:4], 16) % 1024
+    return (b * 2654435761) % 2001 - 1000
+
+
+def test_classifier_score_hand_computed(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        classifier_score,
+        classifier_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the fast Fox"), (2, "  "), (3, "zz")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in classifier_score(docs, classifier_weights(spark)).collect()
+    }
+    # doc 1: lowered tokens, mean-pooled milli weights + 0.05 bias
+    toks = ["the", "fast", "fox"]
+    s = sum(_clf_w(t) for t in toks)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["sum_w_milli"] == s
+    exp_logit = round(0.05 + s / (1000.0 * 3), 6)
+    assert rows[1]["logit"] == pytest.approx(exp_logit, abs=1e-9)
+    assert rows[1]["keep"] == (exp_logit >= 0.0)
+    # blank doc: total gate — bias-only logit, never dropped from output
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["sum_w_milli"] == 0
+    assert rows[2]["logit"] == pytest.approx(0.05)
+    assert rows[2]["keep"] is True
+    # single token: logit = bias + w/1000
+    w3 = _clf_w("zz")
+    assert rows[3]["sum_w_milli"] == w3
+    assert rows[3]["logit"] == pytest.approx(round(0.05 + w3 / 1000.0, 6))
+
+
+def test_classifier_weights_range_and_determinism(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        classifier_weights,
+    )
+
+    w = classifier_weights(spark).collect()
+    assert len(w) == 1024
+    assert all(-1000 <= r["w_milli"] <= 1000 for r in w)
+    # replayable off-Spark from the bucket id alone
+    assert all(r["w_milli"] == (r["bucket"] * 2654435761) % 2001 - 1000 for r in w)
