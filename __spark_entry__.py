@@ -2355,6 +2355,28 @@ def q122_classifier_gate(spark, sf_dir):
     return classifier_score(_docs(spark, sf_dir), classifier_weights(spark))
 
 
+def q123_rtbf_purge(spark, sf_dir):
+    """Right-to-be-forgotten delete propagation across all three route
+    sinks, proven from the WRITTEN state: broadcast anti-join purge per
+    sink, overwrite through the storage seam, then a read-back residual
+    count that must be 0. The oracle re-derives each sink's row set from
+    the generative CTEs and applies the same md5 deny predicate, so
+    n_before/n_deleted/n_after are independently recomputed while
+    n_residual checks Spark's on-disk state against the semantic 0."""
+    from java9_gc_log_parser_spark.operators.compliance import (
+        rtbf_deny_list,
+        rtbf_purge_audit,
+    )
+
+    sinks = route(_parsed(spark, sf_dir))
+    deny = rtbf_deny_list(synth_transcripts(spark, sf_dir))
+    return rtbf_purge_audit(
+        {k: sinks[k] for k in ("pause_events", "tool_calls", "unmatched")},
+        deny,
+        _scratch(sf_dir, "rtbf"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4889,6 +4911,28 @@ SELECT doc_id, n_tokens, sum_w_milli, logit, logit >= 0.0 AS keep
 FROM scored
 """
 
+_ORACLES["q123_rtbf_purge"] = f"""
+WITH s3 AS ({_ORACLES["q03_pause_events_sink"]}),
+s4 AS ({_ORACLES["q04_tool_calls_sink"]}),
+s5 AS ({_ORACLES["q05_unmatched_sink"]}),
+allrows AS (
+  SELECT 'pause_events' AS sink, conv_id FROM s3
+  UNION ALL SELECT 'tool_calls' AS sink, conv_id FROM s4
+  UNION ALL SELECT 'unmatched' AS sink, conv_id FROM s5
+), fl AS (
+  SELECT sink,
+    substr(md5(conv_id || ':rtbf:v1'), 1, 1) = '0' AS deny
+  FROM allrows
+)
+SELECT sink,
+  CAST(COUNT(*) AS BIGINT) AS n_before,
+  CAST(SUM(CASE WHEN deny THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+  CAST(COUNT(*) - SUM(CASE WHEN deny THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after,
+  CAST(0 AS BIGINT) AS n_residual
+FROM fl GROUP BY sink
+"""
+
 _ORACLES["q120_near_dup_recall"] = _EMB + f"""
 , eb AS (
   SELECT *,
@@ -5692,6 +5736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_near_dup_recall": q120_near_dup_recall,
         "q121_mad_outliers": q121_mad_outliers,
         "q122_classifier_gate": q122_classifier_gate,
+        "q123_rtbf_purge": q123_rtbf_purge,
     }
 
 
