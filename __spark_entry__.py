@@ -2377,6 +2377,19 @@ def q123_rtbf_purge(spark, sf_dir):
     )
 
 
+def q124_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (tokenizer training): ONE corpus-
+    scale word-count agg, then 8 pair-count/argmax iterations over the
+    persisted O(vocab) table — the corpus is never re-touched, one row
+    ships to the driver per merge. Deterministic contract: ties broken
+    by pair string ascending; merge application is the double
+    space-bounded replace both engines execute identically. The oracle
+    unrolls all 8 iterations as CTE chains."""
+    from java9_gc_log_parser_spark.operators.tokenizer import bpe_learn
+
+    return bpe_learn(spark, _docs(spark, sf_dir), n_merges=8)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4933,6 +4946,51 @@ SELECT sink,
 FROM fl GROUP BY sink
 """
 
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unroll the BPE merge-learning iterations (tokenizer.py contract:
+    max count / pair-ascending tie-break / double space-bounded replace)
+    as chained CTEs."""
+    parts = [
+        _DTOK.rstrip()
+        + r"""
+, wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ltoks) AS word FROM dtok) GROUP BY word
+), w0 AS MATERIALIZED (
+  SELECT cnt, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS syms
+  FROM wc
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        pat = f"' ' || (SELECT pair FROM b{i}) || ' '"
+        rep = f"' ' || (SELECT replace(pair, ' ', '') FROM b{i}) || ' '"
+        parts.append(
+            f"""
+, p{i} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt,
+      unnest(list_transform(range(1, len(a)), j -> a[j] || ' ' || a[j+1]))
+        AS pair
+    FROM (SELECT cnt, string_split(trim(syms), ' ') AS a FROM w{i - 1})
+  ) GROUP BY pair
+), b{i} AS MATERIALIZED (
+  SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT cnt, replace(replace(syms, {pat}, {rep}), {pat}, {rep}) AS syms
+  FROM w{i - 1}
+)"""
+        )
+    finals = "\n  UNION ALL ".join(
+        f"""SELECT {i} AS step, split_part(pair, ' ', 1) AS "left",
+    split_part(pair, ' ', 2) AS "right",
+    replace(pair, ' ', '') AS merged, c AS pair_count FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\nSELECT * FROM (\n  " + finals + "\n)"
+
+
+_ORACLES["q124_bpe_merges"] = _bpe_oracle_sql(8)
+
 _ORACLES["q120_near_dup_recall"] = _EMB + f"""
 , eb AS (
   SELECT *,
@@ -5737,6 +5795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_mad_outliers": q121_mad_outliers,
         "q122_classifier_gate": q122_classifier_gate,
         "q123_rtbf_purge": q123_rtbf_purge,
+        "q124_bpe_merges": q124_bpe_merges,
     }
 
 

@@ -1,0 +1,65 @@
+"""BPE merge learning (operators/tokenizer.py) — hand-computed contracts."""
+
+from __future__ import annotations
+
+import pytest
+
+from java9_gc_log_parser_spark.operators.tokenizer import bpe_learn
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_bpe_first_merge_is_most_frequent_pair(spark):
+    # "ab" pair appears in every word of both docs; 5 occurrences total
+    docs = _docs(spark, ["abc abd", "abe abc abc"])
+    merges = bpe_learn(spark, docs, n_merges=1).collect()
+    assert len(merges) == 1
+    m = merges[0]
+    assert (m["left"], m["right"], m["merged"]) == ("a", "b", "ab")
+    assert m["pair_count"] == 5
+    assert m["step"] == 1
+
+
+def test_bpe_second_merge_uses_first_merge_symbol(spark):
+    # after (a,b)->ab, the dominant pair becomes (ab, c)
+    docs = _docs(spark, ["abc abc abc abd"])
+    merges = bpe_learn(spark, docs, n_merges=2).collect()
+    assert [(m["left"], m["right"]) for m in merges] == [
+        ("a", "b"),
+        ("ab", "c"),
+    ]
+    assert merges[1]["pair_count"] == 3
+
+
+def test_bpe_tie_break_is_pair_ascending(spark):
+    # "xy" and "pq" each occur twice; lexicographically 'p q' < 'x y'
+    docs = _docs(spark, ["xy pq", "xy pq"])
+    merges = bpe_learn(spark, docs, n_merges=1).collect()
+    assert (merges[0]["left"], merges[0]["right"]) == ("p", "q")
+    assert merges[0]["pair_count"] == 2
+
+
+def test_bpe_repeated_symbol_run_follows_double_replace_rule(spark):
+    # 'aaaa' = a a a a: pair (a,a) counts 3 (adjacent positions)
+    docs = _docs(spark, ["aaaa"])
+    merges = bpe_learn(spark, docs, n_merges=2).collect()
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    assert merges[0]["pair_count"] == 3
+    # after the double replace 'a a a a' -> 'aa aa', next pair is (aa, aa)
+    assert (merges[1]["left"], merges[1]["right"]) == ("aa", "aa")
+    assert merges[1]["pair_count"] == 1
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    docs = _docs(spark, ["x y", "x"])  # single-char words only
+    merges = bpe_learn(spark, docs, n_merges=5).collect()
+    assert merges == []
+
+
+def test_bpe_rejects_bad_n_merges(spark):
+    with pytest.raises(ValueError):
+        bpe_learn(spark, _docs(spark, ["ab"]), n_merges=0)
