@@ -2390,6 +2390,26 @@ def q124_bpe_merges(spark, sf_dir):
     return bpe_learn(spark, _docs(spark, sf_dir), n_merges=8)
 
 
+def q125_bpe_fertility(spark, sf_dir):
+    """The train→encode tokenizer loop closed: q124's learned merges
+    applied once to the O(vocab) distinct-word table, the corpus token
+    stream picking up piece counts via a broadcast vocab join — per-
+    source fertility (pieces/word), the 'does the vocab serve this
+    slice' health metric. Corpus cost: one word-count agg (training) +
+    one map-only encode pass."""
+    from java9_gc_log_parser_spark.operators.tokenizer import (
+        bpe_encode_fertility,
+        bpe_learn,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (m["left"], m["right"])
+        for m in bpe_learn(spark, docs, n_merges=8).collect()
+    ]
+    return bpe_encode_fertility(docs, merges)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -4949,7 +4969,7 @@ FROM fl GROUP BY sink
 def _bpe_oracle_sql(n_merges: int = 8) -> str:
     """Unroll the BPE merge-learning iterations (tokenizer.py contract:
     max count / pair-ascending tie-break / double space-bounded replace)
-    as chained CTEs."""
+    as chained CTEs; callers append their own final SELECT over b{i}/w{i}."""
     parts = [
         _DTOK.rstrip()
         + r"""
@@ -4957,7 +4977,8 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(ltoks) AS word FROM dtok) GROUP BY word
 ), w0 AS MATERIALIZED (
-  SELECT cnt, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS syms
+  SELECT word, cnt,
+         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS syms
   FROM wc
 )"""
     ]
@@ -4976,20 +4997,44 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
 ), b{i} AS MATERIALIZED (
   SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
 ), w{i} AS MATERIALIZED (
-  SELECT cnt, replace(replace(syms, {pat}, {rep}), {pat}, {rep}) AS syms
+  SELECT word, cnt,
+         replace(replace(syms, {pat}, {rep}), {pat}, {rep}) AS syms
   FROM w{i - 1}
 )"""
         )
-    finals = "\n  UNION ALL ".join(
+    return "".join(parts)
+
+
+_BPE_N_MERGES = 8
+
+_ORACLES["q124_bpe_merges"] = (
+    _bpe_oracle_sql(_BPE_N_MERGES)
+    + "\nSELECT * FROM (\n  "
+    + "\n  UNION ALL ".join(
         f"""SELECT {i} AS step, split_part(pair, ' ', 1) AS "left",
     split_part(pair, ' ', 2) AS "right",
     replace(pair, ' ', '') AS merged, c AS pair_count FROM b{i}"""
-        for i in range(1, n_merges + 1)
+        for i in range(1, _BPE_N_MERGES + 1)
     )
-    return "".join(parts) + "\nSELECT * FROM (\n  " + finals + "\n)"
+    + "\n)"
+)
 
-
-_ORACLES["q124_bpe_merges"] = _bpe_oracle_sql(8)
+_ORACLES["q125_bpe_fertility"] = (
+    _bpe_oracle_sql(_BPE_N_MERGES)
+    + f"""
+, enc AS (
+  SELECT word, len(string_split(trim(syms), ' ')) AS n_pieces
+  FROM w{_BPE_N_MERGES}
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+  ROUND(CAST(SUM(n_pieces) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+FROM (SELECT source, unnest(ltoks) AS word FROM dtok) t
+JOIN enc USING (word)
+GROUP BY source
+"""
+)
 
 _ORACLES["q120_near_dup_recall"] = _EMB + f"""
 , eb AS (
@@ -5796,6 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_classifier_gate": q122_classifier_gate,
         "q123_rtbf_purge": q123_rtbf_purge,
         "q124_bpe_merges": q124_bpe_merges,
+        "q125_bpe_fertility": q125_bpe_fertility,
     }
 
 

@@ -131,3 +131,50 @@ def bpe_learn(
         return spark.createDataFrame(merges, MERGES_SCHEMA)
     finally:
         words.unpersist()
+
+
+def bpe_encode_fertility(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Encode the corpus with a learned merge list and report tokenizer
+    fertility (pieces per word) per source — the standard "is the
+    tokenizer a good fit for this corpus slice" health metric (high
+    fertility on a source means the vocab underserves it).
+
+    The encode path never re-runs BPE per token occurrence: merges are
+    applied once to the O(vocab) distinct-word table (the same chained
+    double-replace used during training), and the corpus token stream
+    picks up its piece count via a BROADCAST join against that tiny
+    encoded vocab — one map-only corpus pass + one map-combinable agg.
+    ``merges`` is the driver-side merge list (O(n_merges) rows, the
+    artifact ``bpe_learn`` produced).
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    vocab = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
+        )
+        .distinct()
+        .select("word", _spaced_chars(F.col("word")).alias("syms"))
+    )
+    syms = F.col("syms")
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    enc = vocab.select(
+        "word", F.size(F.split(F.trim(syms), " ")).alias("n_pieces")
+    )
+    stream = docs.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
+    )
+    return (
+        stream.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count("*"), 6
+            ).alias("pieces_per_word"),
+        )
+    )

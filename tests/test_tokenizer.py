@@ -63,3 +63,30 @@ def test_bpe_stops_when_no_pairs_remain(spark):
 def test_bpe_rejects_bad_n_merges(spark):
     with pytest.raises(ValueError):
         bpe_learn(spark, _docs(spark, ["ab"]), n_merges=0)
+
+
+def test_bpe_encode_fertility_hand_computed(spark):
+    from java9_gc_log_parser_spark.operators.tokenizer import (
+        bpe_encode_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc ab", "s1"), (2, "abc x", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    # merges (a,b) then (ab,c): abc -> 1 piece, ab -> 1 piece, x -> 1 piece
+    rows = {
+        r["source"]: r
+        for r in bpe_encode_fertility(docs, [("a", "b"), ("ab", "c")]).collect()
+    }
+    assert rows["s1"]["n_words"] == 2
+    assert rows["s1"]["n_pieces"] == 2  # 'abc'=1, 'ab'=1
+    assert rows["s1"]["pieces_per_word"] == 1.0
+    assert rows["s2"]["n_words"] == 2
+    assert rows["s2"]["n_pieces"] == 2  # 'abc'=1, 'x'=1
+    # no merges: every word splits to characters
+    rows0 = {
+        r["source"]: r for r in bpe_encode_fertility(docs, []).collect()
+    }
+    assert rows0["s1"]["n_pieces"] == 5  # 3 + 2 chars
+    assert rows0["s2"]["n_pieces"] == 4  # 3 + 1 chars
