@@ -2410,6 +2410,119 @@ def q125_bpe_fertility(spark, sf_dir):
     return bpe_encode_fertility(docs, merges)
 
 
+def q126_stream_outer_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join — the null-emission
+    semantic q66's inner join doesn't exercise: every user turn emits,
+    answered turns as pairs when the partner arrives, UNANSWERED turns as
+    null rows only once the watermark proves no reply can still come.
+    Drain 1 (lateness > data span) matches the backlog without dropping
+    anything; one sentinel per side then pushes both watermarks past
+    every join horizon and the restart's no-data micro-batch evicts the
+    surviving left state as null rows (q49's sentinel discipline).
+
+    Keeps q66's skew fix (range bound composed into the equality key via
+    adjacent time buckets, hot conversations never probe quadratically).
+    Outer semantics make the 2-bucket probe emit per-PROBE nulls, so a
+    deterministic post-pass collapses probe artifacts: a turn keeps its
+    match rows, and is null only if every probe came back null. The
+    drained+collapsed set must equal DuckDB's batch LEFT JOIN exactly."""
+    import datetime
+    import shutil
+
+    bucket_s = 600
+
+    root = _scratch(sf_dir, "q126")
+    shutil.rmtree(root, ignore_errors=True)
+    src, outp, ck = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    tdf = synth_transcripts(spark, sf_dir)
+    tdf.repartition(32).write.parquet(src)
+    lo, hi = spark.read.parquet(src).agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((hi - lo).total_seconds()) + 60
+
+    def _stream(role):
+        return (
+            spark.readStream.schema(_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+            .filter(F.col("role") == role)
+            .withWatermark("ts", f"{delay_s} seconds")
+        )
+
+    def _drain():
+        bucket = (F.unix_seconds(F.col("ts")) / bucket_s).cast("long")
+        left = _stream("user").select(
+            F.col("conv_id").alias("l_conv"),
+            F.col("turn_idx").alias("l_turn"),
+            F.col("ts").alias("l_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("l_bucket"),
+        )
+        right = _stream("assistant").select(
+            F.col("conv_id").alias("r_conv"),
+            F.col("turn_idx").alias("r_turn"),
+            F.col("ts").alias("r_ts"),
+            bucket.alias("r_bucket"),
+        )
+        q = (
+            left.join(
+                right,
+                F.expr(
+                    "l_conv = r_conv AND l_bucket = r_bucket "
+                    "AND r_ts >= l_ts "
+                    "AND r_ts < l_ts + INTERVAL 10 MINUTES"
+                ),
+                "leftOuter",
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain()  # matches; watermark still below every horizon
+        sent_ts = hi + datetime.timedelta(seconds=2 * delay_s + 2 * bucket_s)
+        rows = [
+            ("__wm__", 0, "user", "wm", None, sent_ts),
+            ("__wm__", 1, "assistant", "wm", None, sent_ts),
+        ]
+        spark.createDataFrame(rows, _INPUT_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        _drain()  # no-data batch evicts surviving left state as nulls
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out = spark.read.parquet(outp).filter(F.col("l_conv") != "__wm__")
+    matched = out.filter(F.col("r_turn").isNotNull())
+    # probe-artifact collapse: null only if BOTH bucket probes were null
+    unanswered = (
+        out.groupBy("l_conv", "l_turn")
+        .agg(F.max("r_turn").alias("any_match"))
+        .filter(F.col("any_match").isNull())
+        .select("l_conv", "l_turn")
+    )
+    pairs = matched.select(
+        F.col("l_conv").alias("conv_id"),
+        F.col("l_turn").cast("long").alias("user_turn_idx"),
+        F.col("r_turn").cast("long").alias("asst_turn_idx"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts")))
+        .cast("long")
+        .alias("delta_us"),
+    )
+    nulls = unanswered.select(
+        F.col("l_conv").alias("conv_id"),
+        F.col("l_turn").cast("long").alias("user_turn_idx"),
+        F.lit(None).cast("long").alias("asst_turn_idx"),
+        F.lit(None).cast("long").alias("delta_us"),
+    )
+    return pairs.unionByName(nulls)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5007,6 +5120,22 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
 
 _BPE_N_MERGES = 8
 
+_ORACLES["q126_stream_outer_join"] = O.with_ctes() + """
+, lu AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'user'
+), ra AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'assistant'
+)
+SELECT lu.conv_id,
+       CAST(lu.turn_idx AS BIGINT) AS user_turn_idx,
+       CAST(ra.turn_idx AS BIGINT) AS asst_turn_idx,
+       CAST(epoch_us(ra.ts) - epoch_us(lu.ts) AS BIGINT) AS delta_us
+FROM lu LEFT JOIN ra
+  ON lu.conv_id = ra.conv_id
+ AND ra.ts >= lu.ts
+ AND epoch_us(ra.ts) < epoch_us(lu.ts) + 600000000
+"""
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -5842,6 +5971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_rtbf_purge": q123_rtbf_purge,
         "q124_bpe_merges": q124_bpe_merges,
         "q125_bpe_fertility": q125_bpe_fertility,
+        "q126_stream_outer_join": q126_stream_outer_join,
     }
 
 
