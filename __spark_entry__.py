@@ -2523,6 +2523,25 @@ def q126_stream_outer_join(spark, sf_dir):
     return pairs.unionByName(nulls)
 
 
+def q127_ahash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup over the multimodal corpus: 64-bit aHash
+    per asset from a batch-vectorized mapInPandas kernel (cell mean vs
+    global mean by exact integer cross-multiplication — no float seam),
+    then q23's band-4x16 + exact-Hamming machinery reused verbatim. The
+    oracle recomputes the hash bits INDEPENDENTLY from raw text bytes
+    (unlike q22/q23's materialized-signature seam, aHash is pure
+    arithmetic both engines can evaluate), then replays banding and
+    Hamming."""
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        documents_as_assets,
+    )
+
+    return ahash_near_dup_pairs(
+        documents_as_assets(_docs(spark, sf_dir)), max_hamming=16
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5136,6 +5155,43 @@ FROM lu LEFT JOIN ra
  AND epoch_us(ra.ts) < epoch_us(lu.ts) + 600000000
 """
 
+_ORACLES["q127_ahash_near_dup"] = """
+WITH b AS (
+  SELECT doc_id, n, pos,
+         ascii(substr(text, CAST(pos AS INT) + 1, 1)) AS byte,
+         (pos * 64) // n AS s
+  FROM (
+    SELECT doc_id, text, octet_length(encode(text)) AS n,
+           unnest(range(octet_length(encode(text)))) AS pos
+    FROM documents
+  )
+), seg AS (
+  SELECT doc_id, s, SUM(byte) AS ssum, COUNT(*) AS scnt
+  FROM b GROUP BY doc_id, s
+), tot AS (
+  SELECT doc_id, SUM(byte) AS ts, COUNT(*) AS n FROM b GROUP BY doc_id
+), h AS (
+  SELECT seg.doc_id,
+    CAST(SUM(CASE WHEN ssum * n <= ts * scnt THEN 0
+             WHEN s = 63 THEN -9223372036854775808
+             ELSE (CAST(1 AS BIGINT) << CAST(s AS INT)) END) AS BIGINT)
+      AS ahash
+  FROM seg JOIN tot USING (doc_id) GROUP BY seg.doc_id
+), bands AS (
+  SELECT doc_id, ahash, band_id,
+         (ahash >> (band_id * 16)) & 65535 AS band_val
+  FROM h, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS asset_a, r.doc_id AS asset_b,
+                  l.ahash AS ha, r.ahash AS hb
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val
+   AND l.doc_id < r.doc_id
+)
+SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 16
+"""
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -5972,6 +6028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_bpe_merges": q124_bpe_merges,
         "q125_bpe_fertility": q125_bpe_fertility,
         "q126_stream_outer_join": q126_stream_outer_join,
+        "q127_ahash_near_dup": q127_ahash_near_dup,
     }
 
 

