@@ -2542,6 +2542,31 @@ def q127_ahash_near_dup(spark, sf_dir):
     )
 
 
+def q128_token_entropy(spark, sf_dir):
+    """Per-doc lexical Shannon entropy profile (information-density
+    complement of the q36 repetition gate): nano-quantized c·ln(c) terms
+    summed as exact integers (the q111 discipline), doc-spine left join
+    keeps zero-token docs, norm_entropy NULL where undefined."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+def q129_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test between md5-assigned user cohorts on the
+    error-event share: exact counts from ONE map-combinable corpus agg,
+    fixed float op tree, significance decided on the unrounded statistic
+    — the experimentation readout, with the q30 hash-split discipline as
+    cohort assignment."""
+    from java9_gc_log_parser_spark.operators.profiling import (
+        ab_proportion_test,
+    )
+
+    return ab_proportion_test(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5192,6 +5217,62 @@ SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 16
 """
 
+_ORACLES["q128_token_entropy"] = _DTOK + """
+, tc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(ltoks) AS tok FROM dtok) GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_unique,
+         CAST(SUM(CAST(ROUND(c::DOUBLE * ln(c) * 1e9) AS BIGINT)) AS BIGINT)
+           AS s_nano
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_unique, 0) AS n_unique,
+  CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+    ROUND(ln(n_tokens::DOUBLE) - s_nano::DOUBLE / (n_tokens::DOUBLE * 1e9), 6)
+  END AS entropy,
+  CASE WHEN COALESCE(n_unique, 0) > 1 THEN
+    ROUND((ln(n_tokens::DOUBLE) - s_nano::DOUBLE / (n_tokens::DOUBLE * 1e9))
+          / ln(n_unique::DOUBLE), 6)
+  END AS norm_entropy
+FROM dtok d LEFT JOIN per USING (doc_id)
+"""
+
+_ORACLES["q129_ab_ztest"] = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN a AND hit THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN NOT a AND hit THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+  FROM (
+    SELECT substr(md5(CAST(user_id AS VARCHAR) || ':ab:v1'), 1, 1) < '8'
+             AS a,
+           event_type = 'error' AS hit
+    FROM events
+  )
+), s AS (
+  SELECT *,
+    x_a::DOUBLE / n_a AS pa, x_b::DOUBLE / n_b AS pb,
+    (x_a + x_b)::DOUBLE / (n_a + n_b) AS pool
+  FROM agg
+), t AS (
+  SELECT *,
+    sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)) AS se
+  FROM s
+)
+SELECT n_a, x_a, n_b, x_b,
+  ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0.0
+       THEN ROUND((pa - pb) / se, 6) END AS z,
+  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0.0
+       THEN abs((pa - pb) / se) >= 1.959964 END AS significant
+FROM t
+"""
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -6029,6 +6110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_bpe_fertility": q125_bpe_fertility,
         "q126_stream_outer_join": q126_stream_outer_join,
         "q127_ahash_near_dup": q127_ahash_near_dup,
+        "q128_token_entropy": q128_token_entropy,
+        "q129_ab_ztest": q129_ab_ztest,
     }
 
 

@@ -792,3 +792,61 @@ def mad_outlier_profile(
             6,
         ).alias("outlier_rate"),
     )
+
+
+AB_SALT = "ab:v1"
+
+
+def ab_proportion_test(
+    events: DataFrame,
+    outcome_type: str = "error",
+    salt: str = AB_SALT,
+) -> DataFrame:
+    """Two-proportion z-test between hash-assigned cohorts — the A/B
+    readout every event pipeline ends in: is the outcome rate (here the
+    ``outcome_type`` share of events) different between cohort A and B?
+
+    Cohorts are deterministic md5 halves of the user-id space (first hex
+    nibble 0-7 → A), so assignment is reproducible anywhere, survives
+    re-ingestion, and is replayed verbatim by the oracle — the q30
+    hash-split discipline applied to experimentation. z uses the pooled-
+    variance form z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)); all
+    counts are exact BIGINTs from ONE map-combinable agg (the whole test
+    is a single corpus pass collapsing to one row), the float op tree is
+    fixed, outputs rounded to 6 dp, and significance is decided on the
+    UNROUNDED statistic (|z| ≥ 1.959964, α=0.05 two-sided). Degenerate
+    pooled rates (p̂ ∈ {0,1}) yield NULL z / NULL significance rather
+    than a division by zero.
+    """
+    is_a = (
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":" + salt))),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    hit = F.col("event_type") == outcome_type
+    agg = events.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum((is_a & hit).cast("long")).alias("x_a"),
+        F.sum((~is_a).cast("long")).alias("n_b"),
+        F.sum((~is_a & hit).cast("long")).alias("x_b"),
+    )
+    n_a, x_a = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    n_b, x_b = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    p_a, p_b = x_a / n_a, x_b / n_b
+    pool = (x_a + x_b) / (n_a + n_b)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+    z = (p_a - p_b) / se
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0.0)
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.abs(z) >= 1.959964).alias("significant"),
+    )

@@ -739,3 +739,51 @@ def classifier_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
         F.round(logit, 6).alias("logit"),
         (F.round(logit, 6) >= 0.0).alias("keep"),
     )
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-doc lexical (token) Shannon entropy — the information-density
+    complement of the q36 repetition gate: boilerplate and keyword-stuffed
+    docs score low, natural prose high. H = ln(n) − (Σ c·ln c)/n over the
+    doc's token counts c.
+
+    Determinism contract (the q111 discipline): each c·ln(c) term is one
+    fixed float op from an exact BIGINT count, QUANTIZED to nano-units
+    before the per-doc sum — the accumulation is an order-independent
+    integer sum, immune to cross-engine float ordering; ln(n)/ln(k) enter
+    once at the boundary with a fixed op tree, rounded to 6 dp.
+    ``norm_entropy`` = H/ln(k) (NULL for k ≤ 1 where it is undefined).
+
+    Scale shape (100 TB): one token explode + two map-combinable hash
+    aggs keyed by doc_id — docs are contiguous within scan partitions, so
+    partial aggregation collapses each doc before either exchange; the
+    doc-spine left join keeps zero-token docs in the profile (total gate).
+    """
+    stream = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = stream.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(
+            F.round(F.col("c").cast("double") * F.log("c") * 1e9).cast("long")
+        ).alias("s_nano"),
+    )
+    base = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    k = F.coalesce(F.col("n_unique"), F.lit(0))
+    h_raw = F.log(n.cast("double")) - F.col("s_nano").cast("double") / (
+        n.cast("double") * 1e9
+    )
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        k.alias("n_unique"),
+        F.when(n > 0, F.round(h_raw, 6)).alias("entropy"),
+        F.when(k > 1, F.round(h_raw / F.log(k.cast("double")), 6)).alias(
+            "norm_entropy"
+        ),
+    )

@@ -375,3 +375,58 @@ def test_mad_profile_zero_mad_reports_null_rate(spark):
     assert r["mad"] == 0.0
     assert r["outlier_rate"] is None
     assert r["n_outliers"] == 0
+
+
+def test_ab_ztest_hand_computed(spark):
+    import hashlib
+    import math
+
+    from java9_gc_log_parser_spark.operators.profiling import (
+        ab_proportion_test,
+    )
+
+    users = list(range(40))
+    rows = []
+    eid = 0
+    for u in users:
+        for j in range(5):
+            # user parity drives the outcome so the cohorts differ
+            et = "error" if (u + j) % 3 == 0 else "view"
+            rows.append((eid, u, et))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type"])
+    got = ab_proportion_test(df).collect()[0]
+
+    def is_a(u):
+        return hashlib.md5(f"{u}:ab:v1".encode()).hexdigest()[0] < "8"
+
+    n_a = sum(5 for u in users if is_a(u))
+    x_a = sum(
+        1 for u in users for j in range(5) if is_a(u) and (u + j) % 3 == 0
+    )
+    n_b = 5 * len(users) - n_a
+    x_b = sum(
+        1 for u in users for j in range(5) if not is_a(u) and (u + j) % 3 == 0
+    )
+    assert (got["n_a"], got["x_a"], got["n_b"], got["x_b"]) == (
+        n_a, x_a, n_b, x_b,
+    )
+    pa, pb = x_a / n_a, x_b / n_b
+    pool = (x_a + x_b) / (n_a + n_b)
+    se = math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    assert got["z"] == pytest.approx((pa - pb) / se, abs=1e-6)
+    assert got["significant"] == (abs((pa - pb) / se) >= 1.959964)
+
+
+def test_ab_ztest_degenerate_rates_yield_null(spark):
+    from java9_gc_log_parser_spark.operators.profiling import (
+        ab_proportion_test,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 10, "view") for i in range(50)],
+        ["event_id", "user_id", "event_type"],
+    )
+    got = ab_proportion_test(df).collect()[0]
+    assert got["x_a"] == 0 and got["x_b"] == 0
+    assert got["z"] is None and got["significant"] is None

@@ -444,3 +444,30 @@ def test_classifier_weights_range_and_determinism(spark):
     assert all(-1000 <= r["w_milli"] <= 1000 for r in w)
     # replayable off-Spark from the bucket id alone
     assert all(r["w_milli"] == (r["bucket"] * 2654435761) % 2001 - 1000 for r in w)
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # uniform: H = ln 4, norm = 1
+            (2, "x x x x"),       # single type: H = 0, norm NULL
+            (3, "  "),            # empty: NULL entropy, counts 0
+            (4, "a a b"),         # H = ln3 - (2 ln2)/3
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert rows[1]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert rows[1]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    assert rows[2]["entropy"] == pytest.approx(0.0, abs=1e-6)
+    assert rows[2]["norm_entropy"] is None
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["entropy"] is None
+    exp = math.log(3) - (2 * math.log(2)) / 3
+    assert rows[4]["entropy"] == pytest.approx(exp, abs=1e-6)
