@@ -358,6 +358,18 @@ def _timed_queries(spark, sf_dir: str) -> dict[str, float]:
         " value double, props string",
     )
     _noop_write(json_payload_audit(_warm))
+    # warm the md5/conv hashing + broadcast-range codepath (q122's
+    # classifier): one-off class-load/JIT measured ~4 s on 5k rows and on
+    # a 64-row inline frame alike, 0.65 s steady-state at sf0.1
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        classifier_score,
+        classifier_weights,
+    )
+
+    _warm_docs = spark.createDataFrame(
+        [(i, "warm up tokens") for i in range(64)], ["doc_id", "text"]
+    )
+    _noop_write(classifier_score(_warm_docs, classifier_weights(spark)))
     out = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

@@ -70,11 +70,34 @@ def main() -> None:
     # replication factor (every copy pairs with every copy), so the 100x
     # point measures output size, not the operator; 1x->10x already shows
     # whether candidate generation stays output-bound.
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        documents_as_assets,
+    )
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        classifier_score,
+        classifier_weights,
+    )
+    from java9_gc_log_parser_spark.operators.tokenizer import bpe_learn
+
+    # ahash is capped at 10x for the same reason as ppjoin: replicated
+    # text makes every replica pair-identical, so 100x measures the
+    # quadratic TRUE answer (candidate pairs within identical-hash
+    # buckets), not the operator.
     legs = {
         "pack": (lambda d: pack_sequences(d, 512, 8), None),
         "dupgate": (lambda d: dup_ngram_gate(d, 3), None),
         "cms": (lambda d: cms_heavy_hitters(d, 20), None),
         "ppjoin": (lambda d: ppjoin_pairs(d, 3), 10),
+        "classifier": (
+            lambda d: classifier_score(d, classifier_weights(spark)),
+            None,
+        ),
+        "ahash": (
+            lambda d: ahash_near_dup_pairs(documents_as_assets(d), 16),
+            10,
+        ),
+        "bpe": (lambda d: bpe_learn(spark, d, n_merges=4), None),
     }
     out: dict = {"sf_dir": args.sf_dir, "legs": {}}
     for rep in reps:
