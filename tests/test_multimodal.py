@@ -119,3 +119,27 @@ def test_ahash_near_dup_identical_payloads_pair_at_zero(spark):
         for r in ahash_near_dup_pairs(df, max_hamming=0).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_ahash_kernel_matches_reference_on_random_payloads(spark):
+    """Property check (seeded): the batch-vectorized kernel equals the
+    pure-python per-payload reference across random lengths (0-300 bytes,
+    spanning the n<64 empty-cell regime) and byte distributions."""
+    import random
+
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+
+    rng = random.Random(2026)
+    payloads = [
+        bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", p) for i, p in enumerate(payloads)],
+        "asset_id long, modality string, content binary",
+    )
+    got = {r["asset_id"]: r["ahash"] for r in ahash_signatures(df).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == _py_ahash(p), f"payload {i} len={len(p)}"

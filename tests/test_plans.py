@@ -496,3 +496,67 @@ def test_pmi_vocab_join_is_broadcast(spark, sf_dir):
     df = entrymod.queries()["q109_pmi_collocations"](spark, sf_dir)
     plan = _formatted(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_gate_plan_shape(spark, sf_dir):
+    """q122: the model joins BROADCAST (never shuffles) and the per-doc
+    sum is one map-combinable hash agg — exactly one data exchange."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q122_classifier_gate"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rtbf_purge_uses_broadcast_deny_join(spark, sf_dir):
+    """q123: every purge/audit join against the deny registry must be a
+    broadcast hash join — sink data never shuffles for the delete."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q123_rtbf_purge"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ahash_near_dup_python_stage_is_arrow_only(spark, sf_dir):
+    """q127: the only Python in the plan is the Arrow-batched mapInPandas
+    signature kernel — no per-row BatchEvalPython anywhere."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q127_ahash_near_dup"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_entropy_aggs_are_map_combinable(spark, sf_dir):
+    """q128: both aggs hash-aggregate with partial (map-side) phases —
+    no sort-aggregate regression on the doc-keyed shuffles."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q128_token_entropy"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "partial_" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_ab_ztest_is_single_pass(spark, sf_dir):
+    """q129: the whole test is ONE corpus agg collapsing to a single row
+    — a single exchange, partial aggregation upstream."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q129_ab_ztest"](spark, sf_dir)
+    plan = _formatted(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_" in plan

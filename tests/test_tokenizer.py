@@ -90,3 +90,37 @@ def test_bpe_encode_fertility_hand_computed(spark):
     }
     assert rows0["s1"]["n_pieces"] == 5  # 3 + 2 chars
     assert rows0["s2"]["n_pieces"] == 4  # 3 + 1 chars
+
+
+def test_apply_merge_matches_python_double_replace_on_random_runs(spark):
+    """Property check (seeded): the Spark double-replace merge rule equals
+    the python double str.replace on adversarial symbol runs — including
+    repeated-symbol runs and adjacent-occurrence chains."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from java9_gc_log_parser_spark.operators.tokenizer import _apply_merge
+
+    rng = random.Random(1787)
+    syms = ["a", "b", "ab", "c"]
+    cases = []
+    for _ in range(300):
+        seq = [rng.choice(syms) for _ in range(rng.randint(1, 12))]
+        left, right = rng.choice(syms), rng.choice(syms)
+        cases.append((" " + " ".join(seq) + " ", left, right))
+    df = spark.createDataFrame(
+        [(i, s, l, r) for i, (s, l, r) in enumerate(cases)],
+        ["i", "s", "l", "r"],
+    )
+    got = {}
+    for (l, r) in {(l, r) for _, l, r in cases}:
+        sub = df.filter((F.col("l") == l) & (F.col("r") == r))
+        for row in sub.select(
+            "i", _apply_merge(F.col("s"), l, r).alias("m")
+        ).collect():
+            got[row["i"]] = row["m"]
+    for i, (s, l, r) in enumerate(cases):
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        exp = s.replace(pat, rep).replace(pat, rep)
+        assert got[i] == exp, (s, l, r)
