@@ -2567,6 +2567,18 @@ def q129_ab_ztest(spark, sf_dir):
     return ab_proportion_test(_events(spark, sf_dir))
 
 
+def q130_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance (the IVF-PQ
+    compression leg): per-subspace deterministic k-means codebooks
+    (q42's machinery on slices), vectors stored as m code ids, query
+    distances via a broadcast LUT with micro-unit integer accumulation.
+    The oracle unrolls every subspace's iterations and replays encode,
+    LUT and ADC ranking end to end."""
+    from java9_gc_log_parser_spark.operators.similarity import ann_topk_pq
+
+    return ann_topk_pq(_embs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5273,6 +5285,95 @@ SELECT n_a, x_a, n_b, x_b,
 FROM t
 """
 
+def _pq_oracle_sql(m: int = 4, k_codes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Unroll PQ training (q42's k-means contract per subspace slice),
+    encoding, the query LUT, and ADC ranking. Key CTEs are MATERIALIZED —
+    the per-subspace chains reference each other enough that inlining
+    would multiply the base scan (the q124 lesson)."""
+    sub = dim // m
+
+    def _assign_sql(s: int, c: str) -> str:
+        d2 = (
+            f"ROUND(ee{s}.esq - 2.0 * list_dot_product(ee{s}.emb, c.c_emb)"
+            " + c.c_sq, 6)"
+        )
+        return f"""
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT ee{s}.vec_id, c.cluster, {d2} AS d2,
+           row_number() OVER (PARTITION BY ee{s}.vec_id
+                              ORDER BY {d2}, c.cluster) AS rk
+    FROM ee{s} CROSS JOIN {c} AS c
+  ) WHERE rk = 1
+"""
+
+    parts = [_EMB]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sl = f"emb[{lo}:{hi}]"
+        parts.append(
+            f"""
+, ee{s} AS MATERIALIZED (
+  SELECT vec_id, {sl} AS emb,
+         ROUND(list_dot_product({sl}, {sl}), 6) AS esq
+  FROM e
+),
+seed{s} AS (
+  SELECT vec_id, {sl} AS emb,
+         CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS INT) AS cluster
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}
+),
+c0{s} AS (SELECT cluster, emb AS c_emb,
+                 ROUND(list_dot_product(emb, emb), 6) AS c_sq FROM seed{s}),
+a0{s} AS MATERIALIZED ({_assign_sql(s, f"c0{s}")}),
+md0{s} AS (
+  SELECT a.cluster,
+         unnest(generate_series(1, len(ee.emb))) AS pos,
+         unnest(ee.emb) AS val
+  FROM a0{s} a JOIN ee{s} ee USING (vec_id)
+),
+md{s} AS (SELECT cluster, pos, ROUND(AVG(val), 6) AS v
+          FROM md0{s} GROUP BY cluster, pos),
+c1{s} AS MATERIALIZED (
+  SELECT cluster, c_emb,
+         ROUND(list_dot_product(c_emb, c_emb), 6) AS c_sq
+  FROM (SELECT cluster, list(v ORDER BY pos) AS c_emb
+        FROM md{s} GROUP BY cluster)
+),
+a1{s} AS MATERIALIZED ({_assign_sql(s, f"c1{s}")}),
+lut{s} AS (
+  SELECT q.vec_id AS query_id, {s} AS s, c.cluster,
+         CAST(ROUND(ROUND(ROUND(list_dot_product(q.{sl}, q.{sl}), 6)
+               - 2.0 * list_dot_product(q.{sl}, c.c_emb)
+               + c.c_sq, 6) * 1e6) AS BIGINT) AS d2u
+  FROM e q CROSS JOIN c1{s} c WHERE q.vec_id % 101 = 0
+),
+cd{s} AS (SELECT vec_id, {s} AS s, cluster AS code FROM a1{s})"""
+        )
+    codes_u = "\n  UNION ALL ".join(f"SELECT * FROM cd{s}" for s in range(m))
+    lut_u = "\n  UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(m))
+    parts.append(
+        f"""
+, codes AS ({codes_u}),
+lut AS ({lut_u}),
+sc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.d2u) AS BIGINT) AS du
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cluster
+  WHERE l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rank,
+       ROUND(du::DOUBLE / 1e6, 6) AS adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY du, vec_id) AS rk FROM sc)
+WHERE rk <= {k}
+"""
+    )
+    return "".join(parts)
+
+
+_ORACLES["q130_ann_pq"] = _pq_oracle_sql()
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -6112,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_ahash_near_dup": q127_ahash_near_dup,
         "q128_token_entropy": q128_token_entropy,
         "q129_ab_ztest": q129_ab_ztest,
+        "q130_ann_pq": q130_ann_pq,
     }
 
 

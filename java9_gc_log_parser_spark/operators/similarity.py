@@ -453,3 +453,126 @@ def near_dup_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) — the
+    compression leg of the real-world IVF-PQ stack (Jégou et al., TPAMI
+    2011): each vector is stored as ``m`` sub-codebook ids (here 4x2 bits
+    vs 64 floats — the memory ratio that makes billion-vector indexes
+    fit), and query distance is a table lookup per subspace, never a
+    full-vector float op against the corpus.
+
+    Training reuses the deterministic Lloyd's machinery of
+    ``clustering.kmeans_assign`` per subspace slice (same md5 seed order,
+    same rounded-6dp expanded-form distances, same struct-min argmin), so
+    the DuckDB oracle unrolls the identical iterations per subspace.
+    ADC: per (query, subspace, code) the distance term is rounded to 6 dp
+    then QUANTIZED to micro-unit BIGINTs before the per-pair sum — the
+    m-term accumulation is exact integer arithmetic, immune to
+    cross-engine float ordering (the q111 discipline).
+
+    Scale shape (100 TB of vectors): codebooks are m×k_codes rows
+    (broadcast); the code table is m small ints per vector; the ADC LUT
+    is queries×m×k_codes (broadcast). The scored join ships only codes,
+    never embeddings. This leg scores the FULL corpus per query (the q19
+    brute-force discipline — it is the exactness baseline for the
+    compressed representation); production composes it with q34's IVF
+    cells to bound candidates, which changes the candidate set, not the
+    scoring machinery proven here.
+
+    Output: ``(query_id, neighbor_id, rank, adc_d2)`` — top-``k`` by
+    (adc distance asc, neighbor_id asc), self-matches excluded.
+    """
+    from java9_gc_log_parser_spark.operators.clustering import (
+        _assign,
+        _init_centroids,
+        _update,
+    )
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 101 == 0
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    def _slice(c: Column, s: int) -> Column:
+        return F.transform(
+            F.slice(c, s * sub + 1, sub), lambda v: v.cast("double")
+        )
+
+    q = embeddings.filter(query_pred)
+    code_parts, lut_parts = [], []
+    for s in range(m):
+        e_s = embeddings.select(
+            "vec_id", _slice(F.col("embedding"), s).alias("_emb")
+        ).withColumn("_esq", F.round(_dot(F.col("_emb"), F.col("_emb")), 6))
+        cents = _init_centroids(e_s, k_codes)
+        assigned = _assign(e_s, cents)
+        for _ in range(iters - 1):
+            cents = _update(e_s, assigned)
+            assigned = _assign(e_s, cents)
+        code_parts.append(
+            assigned.select(
+                "vec_id",
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+            )
+        )
+        q_s = q.select(
+            F.col("vec_id").alias("query_id"),
+            _slice(F.col("embedding"), s).alias("q_emb"),
+        ).withColumn("q_sq", F.round(_dot(F.col("q_emb"), F.col("q_emb")), 6))
+        d2 = F.round(
+            F.col("q_sq")
+            - 2.0 * _dot(F.col("q_emb"), F.col("c_emb"))
+            + F.col("c_sq"),
+            6,
+        )
+        lut_parts.append(
+            q_s.join(F.broadcast(cents)).select(
+                "query_id",
+                F.lit(s).alias("s"),
+                "cluster",
+                F.round(d2 * 1e6).cast("long").alias("d2u"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    lut = lut_parts[0]
+    for p in lut_parts[1:]:
+        lut = lut.unionByName(p)
+
+    from pyspark.sql import Window
+
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["cluster"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2u").alias("du"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("du").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("du").cast("double") / 1e6, 6).alias("adc_d2"),
+        )
+    )

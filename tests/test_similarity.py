@@ -244,3 +244,60 @@ def test_near_dup_recall_counts_cross_bucket_misses(spark):
     assert r["n_exact_pairs"] == 1
     assert r["n_lsh_pairs"] == 0
     assert r["n_missed"] == 1 and r["recall"] == 0.0
+
+
+def test_pq_adc_ranks_exact_duplicate_first(spark):
+    """A corpus vector byte-identical to the query shares every PQ code,
+    so its ADC distance is the query's own quantization distortion — the
+    minimum possible — and it must rank 1."""
+    import random
+
+    from java9_gc_log_parser_spark.operators.similarity import ann_topk_pq
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(9)]
+    vecs.append(list(vecs[0]))  # vec 9 duplicates vec 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = ann_topk_pq(
+        df, m=4, k_codes=2, dim=8,
+        query_pred=F.col("vec_id") == 0, k=3,
+    ).collect()
+    assert [r["query_id"] for r in got] == [0, 0, 0]
+    assert got[0]["neighbor_id"] == 9 and got[0]["rank"] == 1
+    # ADC distances are non-decreasing in rank and 6dp-rounded
+    d = [r["adc_d2"] for r in got]
+    assert d == sorted(d)
+
+
+def test_pq_codes_are_m_per_vector_and_bounded(spark):
+    """Every vector gets exactly m codes in [0, k_codes)."""
+    import random
+
+    from java9_gc_log_parser_spark.operators.clustering import (
+        _assign,
+        _init_centroids,
+    )
+    from java9_gc_log_parser_spark.operators.similarity import _dot
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [
+            (i, [float(rng.uniform(-1, 1)) for _ in range(8)])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    e = df.select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 4), lambda v: v.cast("double"))
+        .alias("_emb"),
+    ).withColumn("_esq", F.round(_dot(F.col("_emb"), F.col("_emb")), 6))
+    assigned = _assign(e, _init_centroids(e, 3))
+    rows = assigned.collect()
+    assert len(rows) == 20
+    assert all(0 <= r["cluster"] < 3 for r in rows)
