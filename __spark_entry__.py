@@ -2579,6 +2579,22 @@ def q130_ann_pq(spark, sf_dir):
     return ann_topk_pq(_embs(spark, sf_dir))
 
 
+def q131_compaction_apply(spark, sf_dir):
+    """Execute q94's binpack plan and prove it from the WRITTEN state:
+    micro-file layout written one-file-per-(source, file_id), plan bins
+    rewritten one-file-per-(source, bin), then both committed tables
+    audited — physical file counts via _metadata.file_path (replayable:
+    a keyed repartition maps each key to one task → one file per dir),
+    rows and an order-insensitive md5-prefix content checksum from the
+    re-read after table (a rewrite that drops or duplicates rows fails
+    the hash, not just a count)."""
+    from java9_gc_log_parser_spark.operators.layout import compaction_apply
+
+    return compaction_apply(
+        _docs(spark, sf_dir), _scratch(sf_dir, "q131"), target_bytes=2048
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5374,6 +5390,39 @@ WHERE rk <= {k}
 
 _ORACLES["q130_ann_pq"] = _pq_oracle_sql()
 
+_ORACLES["q131_compaction_apply"] = """
+WITH fs AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':file:v1'), 1, 4))
+           ::BIGINT % 32 AS file_id,
+         n_chars
+  FROM documents
+), stats AS (
+  SELECT source, file_id, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM fs GROUP BY source, file_id
+), binned AS (
+  SELECT source, file_id,
+         COALESCE(SUM(bytes) OVER (
+             PARTITION BY source ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 2048 AS bin
+  FROM stats
+), agg AS (
+  SELECT source,
+    CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files_before,
+    CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_files_after
+  FROM binned GROUP BY source
+), content AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+           AS content_sum
+  FROM documents GROUP BY source
+)
+SELECT a.source, n_files_before, n_files_after,
+       n_rows AS rows_before, n_rows AS rows_after, content_sum
+FROM agg a JOIN content c ON a.source = c.source
+"""
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -6214,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_token_entropy": q128_token_entropy,
         "q129_ab_ztest": q129_ab_ztest,
         "q130_ann_pq": q130_ann_pq,
+        "q131_compaction_apply": q131_compaction_apply,
     }
 
 

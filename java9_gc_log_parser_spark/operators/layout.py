@@ -273,3 +273,104 @@ def compaction_plan(
         F.max(order_col).alias("last_file"),
         (F.sum(size_col) > 2 * int(target_bytes)).alias("over_target"),
     )
+
+
+def compaction_apply(
+    docs: DataFrame,
+    base_path: str,
+    target_bytes: int = 2048,
+    files_per_source: int = 32,
+) -> DataFrame:
+    """Execute the q94 binpack plan and prove it from the written state —
+    the rewrite job `compaction_plan` only plans: write the micro-file
+    layout (one parquet file per (source, file_id) — streaming-ingest
+    litter), rewrite each plan bin into one file partitioned by
+    (source, bin), then audit BOTH committed tables.
+
+    Every audit column is independently replayable by the oracle:
+    physical file counts are deterministic because a keyed
+    ``repartition(partition cols)`` maps each key wholly to one task, so
+    each partition dir holds exactly one file — files_before = distinct
+    md5 file buckets per source, files_after = plan bins per source; rows
+    and the order-insensitive content checksum (sum of md5-prefix ints)
+    come from re-reading the after table, catching a rewrite that
+    dropped/duplicated rows, not just one that miscounted files.
+
+    Scale shape (100 TB): the rewrite reads each bin's files once and
+    writes once, embarrassingly parallel per bin; the bin map is plan
+    METADATA (broadcast). Physical file counts come from
+    ``_metadata.file_path``, not a driver filesystem walk.
+    """
+    import shutil
+
+    from java9_gc_log_parser_spark.storage import (
+        TableRef,
+        read_table,
+        write_table,
+    )
+
+    spark = docs.sparkSession
+    fid = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":file:v1"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % files_per_source
+    ).cast("int")
+
+    before_path = f"{base_path}/before"
+    after_path = f"{base_path}/after"
+    shutil.rmtree(base_path, ignore_errors=True)
+    before = docs.withColumn("file_id", fid).repartition("source", "file_id")
+    write_table(
+        before,
+        TableRef(before_path, partition_by=("source", "file_id")),
+    )
+
+    stats = micro_file_stats(docs, files_per_source=files_per_source)
+    plan = compaction_plan(stats, target_bytes=target_bytes)
+    bin_map = plan.select(
+        "source",
+        F.explode(
+            F.sequence(F.col("first_file"), F.col("last_file"))
+        ).alias("file_id"),
+        "bin",
+    )
+    loaded = read_table(spark, before_path).withColumn(
+        "file_id", F.col("file_id").cast("int")
+    )
+    after = (
+        loaded.join(F.broadcast(bin_map), ["source", "file_id"])
+        .repartition("source", "bin")
+    )
+    write_table(after, TableRef(after_path, partition_by=("source", "bin")))
+
+    def _audit(path: str, tag: str) -> DataFrame:
+        t = read_table(spark, path)
+        return t.select(
+            "source",
+            F.lit(tag).alias("stage"),
+            F.col("_metadata.file_path").alias("f"),
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+
+    both = _audit(before_path, "before").unionByName(_audit(after_path, "after"))
+    is_b = F.col("stage") == "before"
+    return both.groupBy("source").agg(
+        F.countDistinct(F.when(is_b, F.col("f"))).cast("long")
+        .alias("n_files_before"),
+        F.countDistinct(F.when(~is_b, F.col("f"))).cast("long")
+        .alias("n_files_after"),
+        F.sum(is_b.cast("long")).alias("rows_before"),
+        F.sum((~is_b).cast("long")).alias("rows_after"),
+        F.sum(F.when(~is_b, F.col("h"))).cast("long").alias("content_sum"),
+    )

@@ -191,3 +191,36 @@ def test_compaction_plan_sequential_bins_and_straddle(spark):
     assert out[("A", 2)]["over_target"]  # 300 > 2 * 100
     assert out[("B", 0)]["n_files"] == 1
     assert len(out) == 4
+
+
+def test_compaction_apply_reduces_files_and_preserves_content(spark, tmp_path):
+    import hashlib
+
+    from java9_gc_log_parser_spark.operators.layout import compaction_apply
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} " * 5, "s%d" % (i % 2), 40) for i in range(120)],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    out = {
+        r["source"]: r
+        for r in compaction_apply(
+            docs, str(tmp_path / "cmp"), target_bytes=400, files_per_source=16
+        ).collect()
+    }
+    for src in ("s0", "s1"):
+        a = out[src]
+        assert a["n_files_after"] < a["n_files_before"]
+        assert a["rows_before"] == a["rows_after"] == 60
+        # checksum equals the python-computed expectation over raw docs
+        exp = sum(
+            int(hashlib.md5((f"text {i} " * 5).encode()).hexdigest()[:8], 16)
+            for i in range(120)
+            if "s%d" % (i % 2) == src
+        )
+        assert a["content_sum"] == exp
+    # the after table on disk really holds one file per (source, bin)
+    after = spark.read.parquet(str(tmp_path / "cmp" / "after"))
+    n_dirs = after.select("source", "bin").distinct().count()
+    n_files = after.select("_metadata.file_path").distinct().count()
+    assert n_files == n_dirs
