@@ -2595,6 +2595,22 @@ def q131_compaction_apply(spark, sf_dir):
     )
 
 
+def q132_score_calibration(spark, sf_dir):
+    """Decile lift/calibration table over q122's classifier logits: exact
+    interpolating percentile boundaries (q73's percentile ==
+    quantile_cont contract), strict-exceed bucketing, micro-quantized
+    per-bucket means — the eval artifact the classifier gate ships
+    with."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        classifier_score,
+        classifier_weights,
+        score_calibration,
+    )
+
+    scores = classifier_score(_docs(spark, sf_dir), classifier_weights(spark))
+    return score_calibration(scores, n_buckets=10)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5423,6 +5439,29 @@ SELECT a.source, n_files_before, n_files_after,
 FROM agg a JOIN content c ON a.source = c.source
 """
 
+_ORACLES["q132_score_calibration"] = f"""
+WITH sc AS ({_ORACLES["q122_classifier_gate"]}),
+bd AS (
+  SELECT {", ".join(
+      f"ROUND(quantile_cont(logit, {i / 10}), 6) AS b{i}"
+      for i in range(1, 10)
+  )}
+  FROM sc
+), bk AS (
+  SELECT {" + ".join(
+      f"CASE WHEN logit > b{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+  )} AS bucket,
+  CAST(ROUND(logit * 1e6) AS BIGINT) AS lu,
+  CASE WHEN keep THEN 1 ELSE 0 END AS kp
+  FROM sc CROSS JOIN bd
+)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(SUM(lu)::DOUBLE / (1e6 * COUNT(*)), 6) AS mean_logit,
+  ROUND(SUM(kp)::DOUBLE / COUNT(*), 6) AS keep_share
+FROM bk GROUP BY bucket
+"""
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -6264,6 +6303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_ab_ztest": q129_ab_ztest,
         "q130_ann_pq": q130_ann_pq,
         "q131_compaction_apply": q131_compaction_apply,
+        "q132_score_calibration": q132_score_calibration,
     }
 
 

@@ -787,3 +787,51 @@ def token_entropy(docs: DataFrame) -> DataFrame:
             "norm_entropy"
         ),
     )
+
+
+def score_calibration(scores: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Decile lift/calibration table over classifier logits — the standard
+    "is the score monotone and well-spread" eval artifact a quality-
+    classifier gate ships with (q122's companion, as q119/q120 are the
+    ANN legs'): exact interpolating percentile boundaries (the q73
+    Spark percentile == DuckDB quantile_cont contract, rounded 6 dp),
+    bucket = how many boundaries the logit strictly exceeds, per-bucket
+    doc count, mean logit and keep share.
+
+    Determinism: logits are already 6 dp; they are quantized to micro-
+    unit BIGINTs before the per-bucket mean (order-independent integer
+    sum, the q111 discipline); boundary comparison is on 6 dp values in
+    both engines. The boundary row is a one-row broadcast combine (the
+    documented constant-key BNLJ exemption); the corpus pass is one scan
+    + one map-combinable agg.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scores.agg(
+        *[
+            F.round(F.percentile("logit", q), 6).alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucket = sum(
+        (F.col("logit") > F.col(f"_b{i}")).cast("int") for i in range(len(qs))
+    )
+    return (
+        scores.join(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            F.round(F.col("logit") * 1e6).cast("long").alias("lu"),
+            F.col("keep").cast("long").alias("kp"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("lu").cast("double") / (1e6 * F.count(F.lit(1))), 6
+            ).alias("mean_logit"),
+            F.round(
+                F.sum("kp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("keep_share"),
+        )
+    )

@@ -471,3 +471,24 @@ def test_token_entropy_hand_computed(spark):
     assert rows[3]["entropy"] is None
     exp = math.log(3) - (2 * math.log(2)) / 3
     assert rows[4]["entropy"] == pytest.approx(exp, abs=1e-6)
+
+
+def test_score_calibration_buckets_and_means(spark):
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        score_calibration,
+    )
+
+    # logits 0.0 .. 0.99: deciles are exact, every bucket has 10 docs
+    scores = spark.createDataFrame(
+        [(i, round(i / 100, 6), i >= 50) for i in range(100)],
+        ["doc_id", "logit", "keep"],
+    )
+    rows = {r["bucket"]: r for r in score_calibration(scores, 10).collect()}
+    assert set(rows) == set(range(10))
+    assert all(rows[b]["n_docs"] == 10 for b in range(10))
+    # means rise monotonically with the bucket; keep flips at bucket 5
+    means = [rows[b]["mean_logit"] for b in range(10)]
+    assert means == sorted(means)
+    assert rows[0]["keep_share"] == 0.0
+    assert rows[9]["keep_share"] == 1.0
+    assert rows[0]["mean_logit"] == pytest.approx(0.045, abs=1e-6)
