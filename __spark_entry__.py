@@ -2591,7 +2591,10 @@ def q131_compaction_apply(spark, sf_dir):
     from java9_gc_log_parser_spark.operators.layout import compaction_apply
 
     return compaction_apply(
-        _docs(spark, sf_dir), _scratch(sf_dir, "q131"), target_bytes=2048
+        _docs(spark, sf_dir),
+        _scratch(sf_dir, "q131"),
+        target_bytes=16384,
+        files_per_source=16,
     )
 
 
@@ -5410,7 +5413,7 @@ _ORACLES["q131_compaction_apply"] = """
 WITH fs AS (
   SELECT source,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':file:v1'), 1, 4))
-           ::BIGINT % 32 AS file_id,
+           ::BIGINT % 16 AS file_id,
          n_chars
   FROM documents
 ), stats AS (
@@ -5421,7 +5424,7 @@ WITH fs AS (
          COALESCE(SUM(bytes) OVER (
              PARTITION BY source ORDER BY file_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // 2048 AS bin
+           // 16384 AS bin
   FROM stats
 ), agg AS (
   SELECT source,
