@@ -2614,6 +2614,17 @@ def q132_score_calibration(spark, sf_dir):
     return score_calibration(scores, n_buckets=10)
 
 
+def q133_hll_set_ops(spark, sf_dir):
+    """HLL set algebra across event-type user segments: union by
+    elementwise register max (the mergeability property IS the set
+    algebra), intersection by inclusion-exclusion clamped at 0, exact
+    answers audited in the same rows. q61/q100's register contract, so
+    the oracle replays singles and merged pairs exactly."""
+    from java9_gc_log_parser_spark.operators.sketches import hll_set_ops
+
+    return hll_set_ops(_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5465,6 +5476,87 @@ SELECT CAST(bucket AS INT) AS bucket,
 FROM bk GROUP BY bucket
 """
 
+def _hll_est_sql(src: str, keys: str) -> str:
+    """Estimate block over a (keys, register, max_rank) table — the q100
+    math restated for arbitrary grouping keys."""
+    amm = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+    return f"""(
+  SELECT {keys}, CAST(FLOOR(ROUND(est, 6)) AS BIGINT) AS est FROM (
+    SELECT {keys},
+      CASE WHEN ({amm!r} / (s + zeros)) <= 640.0 AND zeros > 0
+           THEN 256.0 * ln(256.0 / zeros)
+           ELSE {amm!r} / (s + zeros) END AS est
+    FROM (
+      SELECT {keys},
+             SUM(1::BIGINT << (49 - max_rank))::DOUBLE
+               / 562949953421312.0 AS s,
+             256.0 - COUNT(*) AS zeros
+      FROM {src} GROUP BY {keys}
+    )
+  )
+)"""
+
+
+_ORACLES["q133_hll_set_ops"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item FROM events
+), lz AS (
+  SELECT event_type,
+         ('0x' || substr(md5(item), 1, 2))::INTEGER AS register,
+         length(regexp_extract(substr(md5(item), 3, 12), '^(0*)', 1)) AS z,
+         substr(md5(item), 3, 12) AS tail
+  FROM pairs
+), rk AS (
+  SELECT event_type, register,
+         CASE WHEN z = 12 THEN 49
+              ELSE z * 4 + 1 +
+                CASE substr(tail, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END
+         END AS rank
+  FROM lz
+),
+regs AS (SELECT event_type, register, MAX(rank) AS max_rank
+         FROM rk GROUP BY 1, 2),
+grp AS (SELECT DISTINCT event_type FROM pairs),
+combos AS (
+  SELECT a.event_type AS ga, b.event_type AS gb
+  FROM grp a JOIN grp b ON a.event_type < b.event_type
+),
+members AS (SELECT ga, gb, unnest([ga, gb]) AS event_type FROM combos),
+mregs AS (
+  SELECT ga, gb, register, MAX(max_rank) AS max_rank
+  FROM members JOIN regs USING (event_type) GROUP BY 1, 2, 3
+),
+e1 AS {_hll_est_sql("regs", "event_type")},
+e2 AS {_hll_est_sql("mregs", "ga, gb")},
+exg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM pairs GROUP BY 1),
+exi AS (
+  SELECT x.event_type AS ga, y.event_type AS gb,
+         CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM pairs x JOIN pairs y
+    ON x.item = y.item AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT c.ga AS type_a, c.gb AS type_b,
+       ea.est AS est_a, eb.est AS est_b, e2.est AS est_union,
+       GREATEST(CAST(0 AS BIGINT), ea.est + eb.est - e2.est) AS est_inter,
+       xa.exact AS exact_a, xb.exact AS exact_b,
+       xa.exact + xb.exact - COALESCE(exi.exact_inter, 0) AS exact_union,
+       COALESCE(exi.exact_inter, 0) AS exact_inter
+FROM combos c
+JOIN e1 ea ON ea.event_type = c.ga
+JOIN e1 eb ON eb.event_type = c.gb
+JOIN e2 ON e2.ga = c.ga AND e2.gb = c.gb
+JOIN exg xa ON xa.event_type = c.ga
+JOIN exg xb ON xb.event_type = c.gb
+LEFT JOIN exi ON exi.ga = c.ga AND exi.gb = c.gb
+"""
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -6307,6 +6399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_ann_pq": q130_ann_pq,
         "q131_compaction_apply": q131_compaction_apply,
         "q132_score_calibration": q132_score_calibration,
+        "q133_hll_set_ops": q133_hll_set_ops,
     }
 
 

@@ -686,3 +686,153 @@ def hll_estimate_from_registers(
         *group_cols,
         F.floor(F.round(est, 6)).cast("long").alias("hll_estimate"),
     )
+
+
+def hll_set_ops(
+    df: DataFrame, group_col: str = "event_type", item: Column | None = None
+) -> DataFrame:
+    """HLL set algebra across groups — union by register merge,
+    intersection by inclusion–exclusion — with the exact answer audited
+    in the same row. The question "how many users do segments A and B
+    share" at 100 TB: exact needs a (user, segment) shuffle join; the
+    sketch needs 256 small ints per segment, and the UNION estimate is
+    exactly the elementwise register max (the property that makes HLL
+    mergeable makes it a set algebra), with |A∩B| = |A| + |B| − |A∪B|
+    clamped at 0 (inclusion–exclusion on estimates can go negative; the
+    clamp is part of the contract).
+
+    Same register construction, string-space leading-zero rank, exact
+    integer 2^(49−rank) summation, linear-counting correction and 6-dp
+    contract as q61/q100, so the oracle replays every single-group AND
+    merged-pair register table exactly. The exact legs are the audit;
+    at scale only the sketch side runs.
+
+    Output per unordered group pair: ``(type_a, type_b, est_a, est_b,
+    est_union, est_inter, exact_a, exact_b, exact_union, exact_inter)``.
+    """
+    if item is None:
+        item = F.col("user_id")
+    pairs = df.select(
+        F.col(group_col).alias("g"), item.cast("string").alias("_item")
+    ).distinct()
+    hi = F.md5(F.col("_item"))
+    hxi = F.substring(hi, 3, 12)
+    zi = F.length(F.regexp_extract(hxi, "^(0*)", 1))
+    firsti = F.substring(hxi, zi + 1, 1)
+    digit_lzi = (
+        F.when(firsti == "1", 3)
+        .when(firsti.isin("2", "3"), 2)
+        .when(firsti.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    ranki = F.when(zi == 12, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        zi * 4 + digit_lzi + 1
+    )
+    regs = (
+        pairs.select(
+            "g",
+            F.conv(F.substring(hi, 1, 2), 16, 10).cast("int").alias("register"),
+            ranki.cast("int").alias("rank"),
+        )
+        .groupBy("g", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def _est(regdf: DataFrame, keys: list[str], out: str) -> DataFrame:
+        agg = (
+            regdf.groupBy(*keys)
+            .agg(
+                F.sum(
+                    F.expr(f"shiftleft(1L, {_HLL_RANK_BITS + 1} - max_rank)")
+                ).alias("_s_int"),
+                F.count(F.lit(1)).alias("_nz"),
+            )
+            .select(
+                *keys,
+                (F.col("_s_int").cast("double") / F.lit(float(2 ** 49)))
+                .alias("_s"),
+                "_nz",
+            )
+        )
+        zeros = F.lit(m) - F.col("_nz")
+        raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(m) * F.log(F.lit(m) / zeros),
+        ).otherwise(raw)
+        return agg.select(
+            *keys, F.floor(F.round(est, 6)).cast("long").alias(out)
+        )
+
+    groups = pairs.select("g").distinct()
+    combos = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    )
+    members = combos.select(
+        "ga", "gb", F.explode(F.array("ga", "gb")).alias("g")
+    )
+    merged = (
+        members.join(regs, "g")
+        .groupBy("ga", "gb", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    singles = _est(regs, ["g"], "est")
+    unions = _est(merged, ["ga", "gb"], "est_union")
+    ex_g = pairs.groupBy("g").agg(
+        F.countDistinct("_item").cast("long").alias("exact")
+    )
+    ex_inter = (
+        pairs.alias("x")
+        .join(
+            pairs.alias("y"),
+            (F.col("x._item") == F.col("y._item"))
+            & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    out = (
+        combos.join(
+            singles.select(
+                F.col("g").alias("ga"), F.col("est").alias("est_a")
+            ),
+            "ga",
+        )
+        .join(
+            singles.select(
+                F.col("g").alias("gb"), F.col("est").alias("est_b")
+            ),
+            "gb",
+        )
+        .join(unions, ["ga", "gb"])
+        .join(
+            ex_g.select(F.col("g").alias("ga"), F.col("exact").alias("exact_a")),
+            "ga",
+        )
+        .join(
+            ex_g.select(F.col("g").alias("gb"), F.col("exact").alias("exact_b")),
+            "gb",
+        )
+        .join(ex_inter, ["ga", "gb"], "left")
+    )
+    exact_inter = F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("ga").alias("type_a"),
+        F.col("gb").alias("type_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
+        ).alias("est_inter"),
+        "exact_a",
+        "exact_b",
+        (F.col("exact_a") + F.col("exact_b") - exact_inter).alias("exact_union"),
+        exact_inter.alias("exact_inter"),
+    )

@@ -131,3 +131,34 @@ def test_exact_quantile_refinement_under_concentration(spark):
         same, quantiles=(0.99,), max_heap_rows=10
     ).collect()
     assert s["value_centi"] == 777
+
+
+def test_hll_set_ops_partial_overlap_and_merge_property(spark):
+    from java9_gc_log_parser_spark.operators.sketches import hll_set_ops
+
+    # A = 0..199, B = 100..299 (overlap 100), C = A ∪ B as a literal group:
+    # the register-merge union estimate for (A, B) must EQUAL C's
+    # single-group estimate — merging registers is sketching the union.
+    rows = (
+        [(i, "A") for i in range(200)]
+        + [(i, "B") for i in range(100, 300)]
+        + [(i, "C") for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = {
+        (r["type_a"], r["type_b"]): r for r in hll_set_ops(df).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["exact_a"] == 200 and ab["exact_b"] == 200
+    assert ab["exact_inter"] == 100 and ab["exact_union"] == 300
+    # estimates track the truth (256 registers: loose bound, not a vibe)
+    assert abs(ab["est_a"] - 200) / 200 < 0.25
+    assert abs(ab["est_union"] - 300) / 300 < 0.25
+    # merge == direct-union: (A,B) union estimate equals C's single est,
+    # which surfaces as est_a/est_b of any pair containing C... compare
+    # against the (A, C) pair's est_b — C's single-group estimate.
+    assert ab["est_union"] == out[("A", "C")]["est_b"]
+    # C contains A entirely: union(A, C) = C, intersection(A, C) = A
+    ac = out[("A", "C")]
+    assert ac["exact_union"] == 300 and ac["exact_inter"] == 200
+    assert ac["est_union"] == ac["est_b"]
