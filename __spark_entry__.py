@@ -2625,6 +2625,20 @@ def q133_hll_set_ops(spark, sf_dir):
     return hll_set_ops(_events(spark, sf_dir))
 
 
+def q134_dataset_card(spark, sf_dir):
+    """One-row corpus datasheet (Datasheets-for-Datasets header block):
+    size, source breadth, token volume, exact-dup rate, language mix,
+    mean quality, classifier keep share — each metric reusing the
+    contract its dedicated operator already proved; legs combine by the
+    documented one-row constant-key joins."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        classifier_weights,
+        dataset_card,
+    )
+
+    return dataset_card(_docs(spark, sf_dir), classifier_weights(spark))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -5557,6 +5571,39 @@ JOIN exg xb ON xb.event_type = c.gb
 LEFT JOIN exi ON exi.ga = c.ga AND exi.gb = c.gb
 """
 
+_ORACLES["q134_dataset_card"] = _DTOK + f"""
+, base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT md5(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+         )) AS BIGINT) AS n_uniq
+  FROM dtok
+), lg AS (
+  SELECT CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en,
+         CAST(SUM(CASE WHEN pred = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk
+  FROM (SELECT {_PRED} AS pred
+        FROM (SELECT doc_id, {_HITS} FROM dtok))
+), qu AS (
+  SELECT CAST(SUM(CAST(ROUND(quality_score * 1e6) AS BIGINT)) AS BIGINT)
+           AS qsum
+  FROM ({_Q15_BODY})
+), gt AS (
+  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM ({_ORACLES["q122_classifier_gate"]})
+)
+SELECT n_docs, n_sources, n_tokens,
+  ROUND(1.0 - n_uniq::DOUBLE / n_docs, 6) AS dup_rate,
+  ROUND(n_en::DOUBLE / n_docs, 6) AS en_share,
+  ROUND(n_unk::DOUBLE / n_docs, 6) AS unknown_lang_share,
+  ROUND(qsum::DOUBLE / (1e6 * n_docs), 6) AS mean_quality,
+  ROUND(n_keep::DOUBLE / n_docs, 6) AS clf_keep_share
+FROM base CROSS JOIN lg CROSS JOIN qu CROSS JOIN gt
+"""
+
 _ORACLES["q124_bpe_merges"] = (
     _bpe_oracle_sql(_BPE_N_MERGES)
     + "\nSELECT * FROM (\n  "
@@ -6400,6 +6447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_compaction_apply": q131_compaction_apply,
         "q132_score_calibration": q132_score_calibration,
         "q133_hll_set_ops": q133_hll_set_ops,
+        "q134_dataset_card": q134_dataset_card,
     }
 
 

@@ -835,3 +835,59 @@ def score_calibration(scores: DataFrame, n_buckets: int = 10) -> DataFrame:
             ).alias("keep_share"),
         )
     )
+
+
+def dataset_card(docs: DataFrame, clf_weights: DataFrame) -> DataFrame:
+    """One-row corpus datasheet — the "dataset card" header block every
+    training-data release ships (Datasheets for Datasets, Gebru et al.):
+    size, source breadth, token volume, exact-dup rate, language mix,
+    mean quality and classifier keep share, each reusing the metric
+    contract its dedicated operator/oracle already proved (q13 norm-hash
+    dedup, q16 lang vote, q15 quality, q122 gate).
+
+    Every leg is one map-combinable corpus agg collapsing to one row;
+    the legs combine by one-row cross joins (the documented constant-key
+    combine exemption). Float means ride micro-quantized integer sums.
+    """
+    toks = tokens_col(F.trim(F.col("text")))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.countDistinct(F.md5(norm)).cast("long").alias("_n_uniq"),
+    )
+    lang = lang_id(docs).agg(
+        F.sum((F.col("pred_lang") == "en").cast("long")).alias("_n_en"),
+        F.sum((F.col("pred_lang") == "unknown").cast("long")).alias("_n_unk"),
+    )
+    qual = quality_score(docs).agg(
+        F.sum(F.round(F.col("quality_score") * 1e6).cast("long")).alias("_qu")
+    )
+    gate = classifier_score(docs, clf_weights).agg(
+        F.sum(F.col("keep").cast("long")).alias("_n_keep")
+    )
+    n = F.col("n_docs").cast("double")
+    return (
+        base.join(lang)
+        .join(qual)
+        .join(gate)
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_tokens",
+            F.round(1.0 - F.col("_n_uniq").cast("double") / n, 6).alias(
+                "dup_rate"
+            ),
+            F.round(F.col("_n_en").cast("double") / n, 6).alias("en_share"),
+            F.round(F.col("_n_unk").cast("double") / n, 6).alias(
+                "unknown_lang_share"
+            ),
+            F.round(F.col("_qu").cast("double") / (1e6 * n), 6).alias(
+                "mean_quality"
+            ),
+            F.round(F.col("_n_keep").cast("double") / n, 6).alias(
+                "clf_keep_share"
+            ),
+        )
+    )
