@@ -560,3 +560,43 @@ def test_ab_ztest_is_single_pass(spark, sf_dir):
     plan = _formatted(df)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial_" in plan
+
+
+def test_pq_adc_join_broadcasts_the_lut(spark, sf_dir):
+    """q130: the ADC scoring join must broadcast the (queries x m x k)
+    LUT — corpus codes never shuffle against it; no sort-merge join in
+    the scoring path."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q130_ann_pq"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_apply_audit_plan_shape(spark, sf_dir):
+    """q131: the returned audit scans BOTH committed tables (the rewrite
+    itself runs eagerly inside the operator — its broadcast bin-map join
+    is not in this plan), projects only the audited columns, and
+    aggregates hash-style with map-side partials; no join in the audit
+    at all."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q131_compaction_apply"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "/before" in plan and "/after" in plan
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan and "SortAggregate" not in plan
+    # column pruning: the audit never re-reads doc_id or n_chars
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_hll_set_ops_register_aggs_are_hash_aggs(spark, sf_dir):
+    """q133: register construction and merges stay hash-aggregable with
+    map-side partials — no sort-aggregate regression."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q133_hll_set_ops"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "partial_" in plan
+    assert "SortAggregate" not in plan
