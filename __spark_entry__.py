@@ -5181,9 +5181,20 @@ allrows AS (
   SELECT 'pause_events' AS sink, conv_id FROM s3
   UNION ALL SELECT 'tool_calls' AS sink, conv_id FROM s4
   UNION ALL SELECT 'unmatched' AS sink, conv_id FROM s5
+), reg AS (
+  -- registry membership, mirroring Spark's rtbf_deny_list join: the deny
+  -- set is derived from TRANSCRIPT conv_ids, and a sink row is denied iff
+  -- its conv_id is IN that registry. Applying the md5 predicate directly
+  -- to sink conv_ids (the previous form) is equivalent only while sink
+  -- conv_ids are a subset of transcript conv_ids — true here because the
+  -- sinks are routed from the transcripts, but the EXISTS form stays
+  -- correct for sinks with synthetic/foreign keys (r3 ADVICE).
+  SELECT DISTINCT conv_id
+  FROM ({O.transcripts_sql("events")}) t
+  WHERE substr(md5(conv_id || ':rtbf:v1'), 1, 1) = '0'
 ), fl AS (
   SELECT sink,
-    substr(md5(conv_id || ':rtbf:v1'), 1, 1) = '0' AS deny
+    EXISTS (SELECT 1 FROM reg WHERE reg.conv_id = allrows.conv_id) AS deny
   FROM allrows
 )
 SELECT sink,
@@ -5253,15 +5264,23 @@ FROM lu LEFT JOIN ra
 """
 
 _ORACLES["q127_ahash_near_dup"] = """
-WITH b AS (
+-- Byte extraction is hex-based (to_hex of the UTF-8 blob, two hex chars
+-- per byte) so the oracle reads the SAME raw bytes Spark hashes for ANY
+-- text, not just ASCII. The previous ascii(substr(text, ...)) form was
+-- character-indexed and silently diverged on multi-byte characters
+-- (r3 ADVICE); DuckDB 1.0 has no blob subscript, hence the hex route.
+WITH hx AS (
+  SELECT doc_id, to_hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+), b AS (
   SELECT doc_id, n, pos,
-         ascii(substr(text, CAST(pos AS INT) + 1, 1)) AS byte,
+         (strpos('0123456789ABCDEF',
+                 substr(h, CAST(pos * 2 AS INT) + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF',
+                 substr(h, CAST(pos * 2 AS INT) + 2, 1)) - 1) AS byte,
          (pos * 64) // n AS s
-  FROM (
-    SELECT doc_id, text, octet_length(encode(text)) AS n,
-           unnest(range(octet_length(encode(text)))) AS pos
-    FROM documents
-  )
+  FROM (SELECT doc_id, h, n, unnest(range(n)) AS pos FROM hx)
 ), seg AS (
   SELECT doc_id, s, SUM(byte) AS ssum, COUNT(*) AS scnt
   FROM b GROUP BY doc_id, s
@@ -6313,7 +6332,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         "q01_parse_classify": q01_parse_classify,
         "q02_pause_end_fields": q02_pause_end_fields,
         "q03_pause_events_sink": q03_pause_events_sink,
@@ -6449,6 +6468,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_hll_set_ops": q133_hll_set_ops,
         "q134_dataset_card": q134_dataset_card,
     }
+    # Driver-gate rotation (VERDICT r3 "Next round" #1): the driver's
+    # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in
+    # dict insertion order, so q51-q134 carried no driver row through r3.
+    # Round 4 puts q51-q100 first to earn them driver rows; q101+ queue
+    # for round 5; q01-q50 (driver-green in r1-r3) move to the back.
+    # Names and semantics are untouched — pinned by
+    # tests/test_query_hash_pin.py against the pre-reorder sf0.01 value
+    # hashes in tests/fixtures/query_hashes_sf001.json.
+
+    def _num(name: str) -> int:
+        return int(name[1:name.index("_")])
+
+    def _rotation(name: str) -> tuple[int, int]:
+        n = _num(name)
+        if 51 <= n <= 100:
+            return (0, n)  # round-4 driver window
+        if n >= 101:
+            return (1, n)  # round-5 queue (includes new round-4 queries)
+        return (2, n)  # q01-q50: already driver-verified r1-r3
+
+    return {name: base[name] for name in sorted(base, key=_rotation)}
 
 
 def oracle_sql() -> dict[str, str]:

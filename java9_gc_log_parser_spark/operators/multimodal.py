@@ -185,9 +185,16 @@ def ahash_signatures(assets: DataFrame) -> DataFrame:
             pos = np.arange(len(buf), dtype="int64") - starts[row_of_byte]
             seg = (pos * 64) // np.maximum(n_bytes, 1)[row_of_byte]
             gbin = row_of_byte * 64 + seg
+            # bincount(weights=) returns float64; the sums are integral
+            # (byte values), so cast to int64 IMMEDIATELY — the threshold
+            # cross-multiplication below must be integer-exact or a bit
+            # could flip vs the integer-exact oracle once products pass
+            # 2^53 (r3 ADVICE). int64 keeps ssum*n exact up to ~6 GB
+            # payloads (255*n^2 < 2^63); float64 conversion of ssum is
+            # itself exact while ssum < 2^53, i.e. payloads < ~35 TB.
             ssum = np.bincount(
                 gbin, weights=buf, minlength=n_rows * 64
-            ).reshape(n_rows, 64)
+            ).reshape(n_rows, 64).astype(np.int64)
             scnt = np.bincount(gbin, minlength=n_rows * 64).reshape(
                 n_rows, 64
             )

@@ -143,3 +143,50 @@ def test_ahash_kernel_matches_reference_on_random_payloads(spark):
     got = {r["asset_id"]: r["ahash"] for r in ahash_signatures(df).collect()}
     for i, p in enumerate(payloads):
         assert got[i] == _py_ahash(p), f"payload {i} len={len(p)}"
+
+
+def test_ahash_oracle_byte_exact_on_non_ascii(spark):
+    """r3 ADVICE: the q127 DuckDB oracle previously indexed CHARACTERS
+    (ascii(substr(text, ...))) while positions ranged over BYTES — silently
+    equivalent only for pure-ASCII corpora. The oracle now decodes bytes
+    from to_hex(encode(text)); this test runs the full q127 oracle SQL and
+    the Spark pipeline over a corpus of multi-byte UTF-8 texts (accented
+    latin, CJK, emoji) and asserts identical near-dup pairs + hammings."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        documents_as_assets,
+    )
+
+    texts = [
+        "héllo wörld — ünïcode pâylöad " * 8,
+        "héllo wörld — ünïcode pâylöad " * 8,  # identical -> hamming 0
+        "héllo wörld — ünïcode pâylöad!" * 8,  # near-identical
+        "日本語のテキストサンプルです。" * 10,
+        "日本語のテキストサンプルです!" * 10,
+        "emoji 🚀🔥💾 payload " * 12,
+        "completely different ascii content " * 9,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(
+            documents_as_assets(docs), max_hamming=16
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    oracle = entrymod.oracle_sql()["q127_ahash_near_dup"]
+    want = {
+        (a, b): h for a, b, h in con.execute(oracle).fetchall()
+    }
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # sanity: the identical pair

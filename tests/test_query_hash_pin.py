@@ -1,0 +1,82 @@
+"""Value-hash pin for the queries() driver-gate rotation (VERDICT r3 #10).
+
+The round-4 reorder of ``__spark_entry__.queries()`` (q51-q100 first so the
+driver's ~50-entry CORRECTNESS gate reaches them) must not change any
+query's semantics. ``scripts/pin_query_hashes.py --write`` captured every
+query's order-insensitive sf0.01 value hash BEFORE the reorder into
+``tests/fixtures/query_hashes_sf001.json``; this test re-runs a
+deterministic sample spanning both rotation groups and asserts the hashes
+are byte-identical. The full 134-query sweep is the script itself (run
+once per round; see BENCH_MANIFEST.md) — here we keep the default pytest
+wall bounded by pinning the cheap, fully deterministic subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from scripts.pin_query_hashes import FIXTURE, query_hash  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# Cheap deterministic queries spanning all three rotation groups
+# (q01-q50 back, q51-q100 driver window, q101+ round-5 queue).
+PINNED_SAMPLE = [
+    "q01_parse_classify",
+    "q03_pause_events_sink",
+    "q10_bucket_turn_counts",
+    "q13_dedup_exact",
+    "q30_hash_split",
+    "q52_importance_resample",
+    "q56_pack_sequences",
+    "q60_cms_heavy_hitters",
+    "q62_asof_join",
+    "q79_pricing_summary",
+    "q100_grouped_hll_distinct",
+    "q104_edit_distance_join",
+    "q110_benford_audit",
+    "q128_token_entropy",
+    "q133_hll_set_ops",
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_hashes():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("hash fixture not yet written (scripts/pin_query_hashes.py --write)")
+    return json.load(open(FIXTURE))
+
+
+@pytest.fixture(scope="module")
+def spark01(spark):
+    if not os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
+        pytest.skip("sf0.01 testdata absent")
+    return spark
+
+
+@pytest.mark.parametrize("name", PINNED_SAMPLE)
+def test_hash_unchanged(spark01, fixture_hashes, name):
+    assert name in fixture_hashes, f"{name} missing from pin fixture"
+    got = query_hash(entrymod.queries()[name](spark01, SF_DIR))
+    assert got == fixture_hashes[name], (
+        f"{name}: sf0.01 value hash changed vs pre-reorder pin"
+    )
+
+
+def test_rotation_shape():
+    """The driver window (first 50 insertion-order entries) is q51-q100."""
+    names = list(entrymod.queries())
+    nums = [int(n[1:n.index("_")]) for n in names]
+    assert sorted(nums[:50]) == list(range(51, 101))
+    assert all(v >= 101 for v in nums[50:84])
+    assert sorted(nums[84:134]) == list(range(1, 51))
+    # every query still has an oracle or documented omission
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(names)
