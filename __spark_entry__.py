@@ -299,6 +299,23 @@ def _await_drained(q, timeout_s: int = 600) -> None:
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
 
 
+def _stream_parts(spark) -> str:
+    """Stateful-stage partition count for the streaming queries.
+
+    Round 3 pinned this at 8 on the theory that state partitions are a
+    state-volume knob (each pays a state-store commit per micro-batch).
+    Measured at sf0.1/local[32], the opposite dominates: the
+    applyInPandasWithState Python workers are the hot stage and they
+    parallelize WITH partitions — an A/B/A drain of the q26 scatter gave
+    p8 = 15.8-27.4 s (high variance), p16 = 9.2 s, p32 = 8.4 s. So size
+    state partitions to the session's core count (floor 8), which is also
+    the cluster-correct shape: on N executors you want >= N state
+    partitions, while commit overhead only matters when partitions vastly
+    outnumber cores. Results are partition-count-invariant (all oracles
+    unchanged); only wall time and sink file counts move."""
+    return str(max(8, spark.sparkContext.defaultParallelism))
+
+
 def q26_stream_assembled(spark, sf_dir):
     """Streaming assembler (applyInPandasWithState) drained with availableNow
     over a file-scattered copy of the same transcripts; its ok-rows must equal
@@ -316,12 +333,12 @@ def q26_stream_assembled(spark, sf_dir):
     # per trigger over 32 files, ~97% of events still split across batches:
     # P(all ~6 lines land in one half) = 2 * 0.5^6)
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
-    # stateful-operator partition count is a state-volume knob, not a
-    # compute-parallelism knob: every partition pays a state-store commit
-    # per micro-batch, and the assembled state here is a few MB. The stream
+    # stateful-stage partition count: sized to core count via
+    # _stream_parts (measured 2-3x faster than the old fixed 8 — the
+    # Python state workers parallelize with partitions). The stream
     # captures the conf at start; restore it for the later batch queries.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         q = (
             stream_assembled(spark, src, _INPUT_SCHEMA,
@@ -371,7 +388,7 @@ def q55_stream_atleastonce_dedup(spark, sf_dir):
     delay_s = int((hi - lo).total_seconds()) + 60
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -429,7 +446,7 @@ def q49_stream_late_dead_letter(spark, sf_dir):
     tdf.repartition(8).write.parquet(src)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         def drain():
             q = (
@@ -482,9 +499,15 @@ def q27_checkpoint_resume(spark, sf_dir):
     root = _scratch(sf_dir, "q27")
     shutil.rmtree(root, ignore_errors=True)
     src, out = f"{root}/src", f"{root}/out"
-    cp.prepare_source(spark, synth_transcripts(spark, sf_dir), src, n_batches=4)
-    cp.run(spark, src, out, n_batches=4, stop_after=2)  # "crash" mid-run
-    cp.run(spark, src, out, n_batches=4)  # resume the remaining batches
+    # 3 buckets, crash after 2, resume the last: the crash/resume contract
+    # needs committed batches BEFORE the crash and pending ones AFTER it,
+    # which 3 buckets provide exactly as well as the old 4 — each extra
+    # bucket re-runs the full 5-sink build (~6 s at sf0.1) for no extra
+    # property (r3 verdict task #8). Bucketing never changes the unioned
+    # result, so the oracle and the q27 value hash are untouched.
+    cp.prepare_source(spark, synth_transcripts(spark, sf_dir), src, n_batches=3)
+    cp.run(spark, src, out, n_batches=3, stop_after=2)  # "crash" mid-run
+    cp.run(spark, src, out, n_batches=3)  # resume the remaining batch
     return cp.read_sink(spark, out, "assembled").select(*_ASSEMBLED_COLS, "ts")
 
 
@@ -499,12 +522,12 @@ def q28_conv_state_json(spark, sf_dir):
 def q51_stream_metrics_feed(spark, sf_dir):
     """Metrics-heartbeat feed parity (SURVEY §2.8 SC6 — the last
     pytest-only seam from the round-2 verdict): ``stream_conv_state``
-    drains a 32-file scatter at 8 files/trigger, emitting one heartbeat
+    drains a 32-file scatter at 16 files/trigger, emitting one heartbeat
     line per micro-batch (batch id, events, convs, wall). Per-batch event
     counts depend on file→trigger assignment and are not engine-
     independent, so the query reduces the feed to invariants that ARE:
 
-      n_batches        == ceil(32/8) heartbeat lines, ids contiguous 0..N-1
+      n_batches        == ceil(32/16) heartbeat lines, ids contiguous 0..N-1
       events_total     == the batch assembler's ok-event count
       convs_final      == distinct convs among ok events
       convs_monotonic  == 1 (cumulative state only ever adds conversations)
@@ -527,10 +550,16 @@ def q51_stream_metrics_feed(spark, sf_dir):
     src, out_root = f"{root}/src", f"{root}/out"
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
+        # 32 files at 16/trigger -> 2 micro-batches. The feed's
+        # cross-batch properties (contiguous batch ids, monotonic
+        # cumulative convs, events summing across batches) need >= 2
+        # batches, which 2 provides; the old 8/trigger -> 4 batches
+        # doubled the state-commit wall (~5 s/batch at sf0.1) without
+        # strengthening any invariant (r3 verdict task #8).
         q = stream_conv_state(spark, src, _INPUT_SCHEMA, out_root,
-                              max_files_per_trigger=8)
+                              max_files_per_trigger=16)
         _await_drained(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1080,7 +1109,7 @@ def q67_stream_cms_maintenance(spark, sf_dir):
 
     docs_schema = _docs(spark, sf_dir).schema
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         q = (
             spark.readStream.schema(docs_schema)
@@ -1172,7 +1201,7 @@ def q66_stream_stream_join(spark, sf_dir):
         bucket.alias("r_bucket"),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         q = (
             left.join(
@@ -1249,7 +1278,7 @@ def q64_stream_window_agg(spark, sf_dir):
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -1327,7 +1356,7 @@ def q68_stream_session_window(spark, sf_dir):
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -1515,7 +1544,7 @@ def q76_stream_static_join(spark, sf_dir):
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -2482,7 +2511,7 @@ def q126_stream_outer_join(spark, sf_dir):
         _await_drained(q)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
     try:
         _drain()  # matches; watermark still below every horizon
         sent_ts = hi + datetime.timedelta(seconds=2 * delay_s + 2 * bucket_s)
@@ -2840,7 +2869,7 @@ FROM easm WHERE verdict = 'ok'
 UNION ALL SELECT 'convs_monotonic', 1
 UNION ALL SELECT 'events_total', (
     SELECT CAST(COUNT(*) AS BIGINT) FROM easm WHERE verdict = 'ok')
-UNION ALL SELECT 'n_batches', 4
+UNION ALL SELECT 'n_batches', 2
 UNION ALL SELECT 'state_diff_rows', 0
 """,
     # crash+resume checkpointed sinks == single-shot batch (q06's oracle)
