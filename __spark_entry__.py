@@ -2608,6 +2608,24 @@ def q130_ann_pq(spark, sf_dir):
     return ann_topk_pq(_embs(spark, sf_dir))
 
 
+def q135_ann_ivf_pq(spark, sf_dir):
+    """IVF×PQ composition + recall audit (r3 verdict task #5): q34's cell
+    probe bounds the candidates, q130's PQ-ADC scores only those
+    candidates, and the result is graded against the q19 exact spine via
+    q119's recall harness — per query (n_exact, n_approx, n_hit,
+    recall@k). The oracle replays cell assignment, probe selection, the
+    per-subspace codebook unroll, candidate-bounded ADC ranking, AND the
+    exact leg, so the composed index's quality loss is a fully oracled
+    number. Plan shape pinned in tests/test_plans.py: candidates flow
+    through the cell-equality join only; probes and the ADC LUT are
+    broadcasts."""
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ann_ivf_pq_recall_report,
+    )
+
+    return ann_ivf_pq_recall_report(_embs(spark, sf_dir))
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -5395,9 +5413,29 @@ FROM t
 
 def _pq_oracle_sql(m: int = 4, k_codes: int = 4, dim: int = 64, k: int = 5) -> str:
     """Unroll PQ training (q42's k-means contract per subspace slice),
-    encoding, the query LUT, and ADC ranking. Key CTEs are MATERIALIZED —
-    the per-subspace chains reference each other enough that inlining
-    would multiply the base scan (the q124 lesson)."""
+    encoding, the query LUT, and ADC ranking over the FULL corpus (q130's
+    exactness-baseline shape)."""
+    return _pq_ctes(m, k_codes, dim) + f"""
+, sc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.d2u) AS BIGINT) AS du
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cluster
+  WHERE l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rank,
+       ROUND(du::DOUBLE / 1e6, 6) AS adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY du, vec_id) AS rk FROM sc)
+WHERE rk <= {k}
+"""
+
+
+def _pq_ctes(m: int = 4, k_codes: int = 4, dim: int = 64) -> str:
+    """PQ train/encode/LUT CTE chain through ``codes`` and ``lut``
+    (factored from _pq_oracle_sql so the q135 IVF×PQ composition appends
+    its candidate-bounded scoring instead of the full-corpus one). Key
+    CTEs are MATERIALIZED — the per-subspace chains reference each other
+    enough that inlining would multiply the base scan (the q124 lesson)."""
     sub = dim // m
 
     def _assign_sql(s: int, c: str) -> str:
@@ -5463,24 +5501,99 @@ cd{s} AS (SELECT vec_id, {s} AS s, cluster AS code FROM a1{s})"""
     parts.append(
         f"""
 , codes AS ({codes_u}),
-lut AS ({lut_u}),
-sc AS (
-  SELECT l.query_id, c.vec_id, CAST(SUM(l.d2u) AS BIGINT) AS du
-  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cluster
-  WHERE l.query_id <> c.vec_id
-  GROUP BY l.query_id, c.vec_id
-)
-SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rank,
-       ROUND(du::DOUBLE / 1e6, 6) AS adc_d2
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY du, vec_id) AS rk FROM sc)
-WHERE rk <= {k}
-"""
+lut AS ({lut_u})"""
     )
     return "".join(parts)
 
 
+def _ivf_pq_oracle_sql(
+    m: int = 4,
+    k_codes: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """q135: the PQ chain (codes + lut, identical to q130's) composed with
+    q34's IVF cell CTEs — ADC scoring restricted to cell-local candidates —
+    then q119's recall comparison against the exact brute-force spine."""
+    return _pq_ctes(m, k_codes, dim) + f"""
+, cent AS (
+  SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT {n_centroids}
+),
+cellscore AS (
+  SELECT v.vec_id, v.emb, c.cid,
+         {_COS.format(a="v.emb", b="c.cemb")} AS ccos
+  FROM e v, cent c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) AS crk
+    FROM cellscore
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS q_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) AS crk
+    FROM cellscore WHERE vec_id % 101 = 0
+  ) WHERE crk <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a
+    ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+),
+sc AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(SUM(l.d2u) AS BIGINT) AS du
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.neighbor_id
+  JOIN lut l ON l.query_id = cd.query_id
+            AND l.s = c.s AND l.cluster = c.code
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY du, neighbor_id) AS rk
+    FROM sc
+  ) WHERE rk <= {k}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a="q.emb", b="c.emb")} AS cos
+      FROM e q, e c
+      WHERE q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+    )
+  ) WHERE rk <= {k}
+),
+per_q AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+),
+ap_n AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+  FROM approx GROUP BY 1
+)
+SELECT per_q.query_id, n_exact, COALESCE(n_approx, 0) AS n_approx,
+       n_hit, ROUND(n_hit::DOUBLE / {k}.0, 6) AS recall_at_k
+FROM per_q LEFT JOIN ap_n ON per_q.query_id = ap_n.query_id
+"""
+
+
 _ORACLES["q130_ann_pq"] = _pq_oracle_sql()
+_ORACLES["q135_ann_ivf_pq"] = _ivf_pq_oracle_sql()
 
 _ORACLES["q131_compaction_apply"] = """
 WITH fs AS (
@@ -6496,6 +6609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_score_calibration": q132_score_calibration,
         "q133_hll_set_ops": q133_hll_set_ops,
         "q134_dataset_card": q134_dataset_card,
+        "q135_ann_ivf_pq": q135_ann_ivf_pq,
     }
     # Driver-gate rotation (VERDICT r3 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in

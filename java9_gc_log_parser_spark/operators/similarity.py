@@ -196,6 +196,41 @@ def ann_topk_ivf(
     """
     if query_pred is None:
         query_pred = F.col("vec_id") % 101 == 0
+    assigned, probes = _ivf_cells(embeddings, query_pred, n_centroids, n_probe)
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cos",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm") + F.lit(EPS)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _ivf_cells(
+    embeddings: DataFrame,
+    query_pred: Column,
+    n_centroids: int,
+    n_probe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF coarse-quantization stage (factored from ann_topk_ivf so
+    the PQ composition reuses the identical cell geometry): returns
+    ``(assigned, probes)`` where ``assigned`` is the corpus with its argmax
+    cell ``(neighbor_id, c_emb, c_nrm, cell)`` and ``probes`` is the query
+    set with its top-``n_probe`` cells ``(query_id, q_emb, q_nrm, q_cell)``
+    — one row per probed cell."""
     e = _with_norm(embeddings)
     cent = (
         e.orderBy("vec_id")
@@ -251,26 +286,7 @@ def ann_topk_ivf(
             F.col("cid").alias("q_cell"),
         )
     )
-    scored = assigned.join(
-        F.broadcast(probes),
-        (F.col("cell") == F.col("q_cell"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).withColumn(
-        "cos",
-        F.round(
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / (F.col("q_nrm") * F.col("c_nrm") + F.lit(EPS)),
-            6,
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return assigned, probes
 
 
 def embedding_near_dup_pairs(
@@ -352,8 +368,18 @@ def ann_recall_report(
     approx = ann_topk_lsh(embeddings, k=k, dims=dims).select(
         "query_id", "neighbor_id"
     )
+    return _recall_vs(exact, approx, k)
+
+
+def _recall_vs(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Shared recall@k comparison: per query, how many of the exact top-k
+    the approximate leg also returned (factored from ann_recall_report;
+    also serves the IVF×PQ composition report)."""
+    # both legs are queries×k rows — broadcast the probe sides so the
+    # comparison never sorts/shuffles (matters when the harness runs
+    # alongside corpus-scale stages that share the session's partitions)
     j = exact.join(
-        approx.withColumn("_hit", F.lit(1)),
+        F.broadcast(approx.withColumn("_hit", F.lit(1))),
         ["query_id", "neighbor_id"],
         "left",
     )
@@ -365,7 +391,7 @@ def ann_recall_report(
         F.count(F.lit(1)).cast("long").alias("n_approx")
     )
     return (
-        per_q.join(ap_n, "query_id", "left")
+        per_q.join(F.broadcast(ap_n), "query_id", "left")
         .select(
             "query_id",
             "n_exact",
@@ -492,14 +518,54 @@ def ann_topk_pq(
     Output: ``(query_id, neighbor_id, rank, adc_d2)`` — top-``k`` by
     (adc distance asc, neighbor_id asc), self-matches excluded.
     """
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 101 == 0
+    codes, lut = _pq_codes_and_lut(embeddings, m, k_codes, iters, dim,
+                                   query_pred)
+
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["cluster"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2u").alias("du"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("du").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("du").cast("double") / 1e6, 6).alias("adc_d2"),
+        )
+    )
+
+
+def _pq_codes_and_lut(
+    embeddings: DataFrame,
+    m: int,
+    k_codes: int,
+    iters: int,
+    dim: int,
+    query_pred: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ train/encode/LUT stage (factored from ann_topk_pq so the
+    IVF composition reuses the identical codebooks): returns ``(codes,
+    lut)`` — ``codes`` is the encoded corpus ``(vec_id, s, code)`` (m rows
+    per vector) and ``lut`` the per-query ADC table ``(query_id, s,
+    cluster, d2u)`` with micro-unit BIGINT distance terms."""
     from java9_gc_log_parser_spark.operators.clustering import (
         _assign,
         _init_centroids,
         _update,
     )
 
-    if query_pred is None:
-        query_pred = F.col("vec_id") % 101 == 0
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -551,28 +617,100 @@ def ann_topk_pq(
     lut = lut_parts[0]
     for p in lut_parts[1:]:
         lut = lut.unionByName(p)
+    return codes, lut
 
-    from pyspark.sql import Window
 
+def ann_topk_ivf_pq(
+    embeddings: DataFrame,
+    query_pred: Column | None = None,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF × PQ composition — the production ANN stack (Jégou et al.,
+    TPAMI 2011, §IV: coarse quantizer bounds the candidate set, product
+    codes score it): q34's cell probe picks candidates, q130's PQ-ADC
+    scores ONLY those candidates. Neither stage changes — the cell
+    geometry is ``_ivf_cells`` verbatim and the codebooks/LUT are
+    ``_pq_codes_and_lut`` verbatim — so the q34/q130 oracles keep
+    validating the pieces while this operator validates the composition.
+
+    Scale shape (100 TB of vectors): candidates are bounded by the
+    ``n_probe/n_centroids`` corpus fraction (a partition-pruned scan once
+    cell id is the table's partition key); the scored join ships only
+    (query_id, neighbor_id) pairs and m-small-int code rows — never
+    embeddings; probes and the ADC LUT are queries-sized broadcasts. The
+    per-query cost is O(candidates × m) integer adds, the memory per
+    corpus vector is m codes — the ratio that fits billion-vector
+    indexes in RAM.
+
+    Output: ``(query_id, neighbor_id, rank, adc_d2)`` — top-``k`` by
+    (ADC distance asc, neighbor_id asc) among CELL-LOCAL candidates,
+    self-matches excluded."""
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 101 == 0
+    assigned, probes = _ivf_cells(embeddings, query_pred, n_centroids,
+                                  n_probe)
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id")
+    codes, lut = _pq_codes_and_lut(embeddings, m, k_codes, iters, dim,
+                                   query_pred)
+    lutq = lut.select(
+        F.col("query_id").alias("l_query"), "s", "cluster", "d2u"
+    )
     scored = (
-        codes.join(
-            F.broadcast(lut),
-            (codes["s"] == lut["s"]) & (codes["code"] == lut["cluster"]),
+        # cand is queries × n_probe × cell-bounded — queries-scale, so it
+        # broadcasts against the corpus-scale code table (the corpus never
+        # shuffles toward the query side anywhere in this operator)
+        codes.join(F.broadcast(cand), cand["neighbor_id"] == codes["vec_id"])
+        .join(
+            F.broadcast(lutq),
+            (F.col("query_id") == F.col("l_query"))
+            & (codes["s"] == lutq["s"])
+            & (codes["code"] == lutq["cluster"]),
         )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", "vec_id")
+        .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2u").alias("du"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("du").asc(), F.col("vec_id").asc()
+        F.col("du").asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             "rank",
             F.round(F.col("du").cast("double") / 1e6, 6).alias("adc_d2"),
         )
     )
+
+
+def ann_ivf_pq_recall_report(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 4,
+) -> DataFrame:
+    """Recall@k of the IVF×PQ composition against the exact brute-force
+    spine — q119's evaluation harness pointed at the composed index, so
+    the two approximations' combined quality loss (missed cells × code
+    quantization) is an oracled number, not a docstring claim."""
+    exact = ann_topk_bruteforce(embeddings, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_topk_ivf_pq(
+        embeddings, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        m=m, k_codes=k_codes,
+    ).select("query_id", "neighbor_id")
+    return _recall_vs(exact, approx, k)

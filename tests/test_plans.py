@@ -600,3 +600,18 @@ def test_hll_set_ops_register_aggs_are_hash_aggs(spark, sf_dir):
     plan = _formatted(df)
     assert "partial_" in plan
     assert "SortAggregate" not in plan
+
+
+def test_ivf_pq_composition_plan_shape(spark, sf_dir):
+    """q135 (r3 verdict task #5 'Done' criteria): candidates are bounded
+    by the probed cells — the corpus side meets the query side ONLY
+    through broadcast joins (cell-equality probe, then the ADC LUT); no
+    sort-merge join anywhere, so nothing ever shuffles the corpus
+    against queries, and the only Exchanges are the ADC aggregation and
+    per-query ranking."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q135_ann_ivf_pq"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

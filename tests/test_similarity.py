@@ -301,3 +301,65 @@ def test_pq_codes_are_m_per_vector_and_bounded(spark):
     rows = assigned.collect()
     assert len(rows) == 20
     assert all(0 <= r["cluster"] < 3 for r in rows)
+
+
+def test_ivf_pq_full_probe_equals_full_corpus_pq(spark):
+    """q135 composition sanity: probing EVERY cell makes the candidate set
+    the whole corpus, so the composed index must rank identically to the
+    full-corpus PQ leg (same codebooks, same ADC integers) — the
+    composition changes the candidate set, never the scoring."""
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ann_topk_ivf_pq,
+        ann_topk_pq,
+    )
+
+    random.seed(21)
+    rows = [
+        (i, "x", [random.uniform(-1, 1) for _ in range(8)])
+        for i in range(150)
+    ]
+    e = _embs(spark, rows)
+    pred = None  # default: vec_id % 101 == 0 -> queries 0 and 101
+    full = ann_topk_pq(e, m=2, k_codes=4, iters=2, dim=8,
+                       query_pred=pred, k=5).collect()
+    comp = ann_topk_ivf_pq(e, query_pred=pred, k=5, n_centroids=4,
+                           n_probe=4, m=2, k_codes=4, iters=2,
+                           dim=8).collect()
+    assert sorted((r.query_id, r.rank, r.neighbor_id, r.adc_d2)
+                  for r in comp) == sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_d2) for r in full
+    )
+
+
+def test_ivf_pq_partial_probe_bounds_candidates(spark):
+    """With a partial probe, every returned neighbor must live in one of
+    the query's probed cells (candidates are cell-bounded by
+    construction, never corpus-wide)."""
+    from java9_gc_log_parser_spark.operators.similarity import (
+        _ivf_cells,
+        ann_topk_ivf_pq,
+    )
+    from pyspark.sql import functions as F
+
+    random.seed(22)
+    rows = [
+        (i, "x", [random.uniform(-1, 1) for _ in range(8)])
+        for i in range(240)
+    ]
+    e = _embs(spark, rows)
+    got = ann_topk_ivf_pq(e, k=5, n_centroids=8, n_probe=2, m=2,
+                          k_codes=4, iters=2, dim=8).collect()
+    assigned, probes = _ivf_cells(
+        e, F.col("vec_id") % 101 == 0, n_centroids=8, n_probe=2
+    )
+    cells = {
+        (r.neighbor_id): r.cell for r in assigned.collect()
+    }
+    probed = {}
+    for r in probes.collect():
+        probed.setdefault(r.query_id, set()).add(r.q_cell)
+    assert got, "composition returned no rows"
+    for r in got:
+        assert cells[r.neighbor_id] in probed[r.query_id], (
+            r.query_id, r.neighbor_id
+        )
