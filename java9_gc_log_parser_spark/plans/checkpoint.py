@@ -44,6 +44,7 @@ from ..storage import (
     TableRef,
     _as_ref,
     current_snapshot_id,
+    path_exists,
     read_table,
     table_scan_stats,
     write_table,
@@ -140,8 +141,9 @@ def run_batch(
             spark, src, where=f"partition.batch_bucket = {batch_id}"
         )
         snapshot = current_snapshot_id(spark, src)
-    elif os.path.isdir(
-        bucket_dir := os.path.join(src.location, f"batch_bucket={batch_id}")
+    elif path_exists(
+        spark, bucket_dir := os.path.join(src.location,
+                                          f"batch_bucket={batch_id}")
     ):
         # prepared source: partition-pruned scan — only this bucket's files
         predicate = f"batch_bucket = {batch_id}"

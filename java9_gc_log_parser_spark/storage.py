@@ -277,9 +277,11 @@ def table_scan_stats(
 
     Iceberg leg: one query over the ``.files`` METADATA table (manifest-backed,
     never touches data files; ``where`` on partition columns narrows it to the
-    pruned scan). Parquet leg: a local filesystem walk — correct only where
-    the driver can see the files (this sandbox); a real cluster should either
-    use the Iceberg leg or go through the Hadoop FileSystem API.
+    pruned scan). Parquet leg: a recursive listing through the Hadoop
+    FileSystem API (r3 verdict task #9) — the same listing a cluster driver
+    does against HDFS/S3A, so the lineage manifest is valid wherever the
+    table lives, not just where the driver shares a local filesystem with
+    the data (the pre-r4 ``os.walk`` assumption).
     """
     ref = _as_ref(table)
     if ref.format == ICEBERG:
@@ -294,21 +296,35 @@ def table_scan_stats(
             F.coalesce(F.sum("file_size_in_bytes"), F.lit(0)).alias("b"),
         ).first()
         return int(row["n"]), int(row["b"])
-    import os
-
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(ref.location)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
     n_files, n_bytes = 0, 0
-    for dirpath, _dirnames, filenames in os.walk(ref.location):
-        for fn in filenames:
-            if fn.endswith((".parquet", ".orc")):
+    if fs.exists(path):
+        # listFiles(recursive=True) is a single remote-iterator listing —
+        # on S3A/HDFS this is the bulk LIST call, not a per-dir walk
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith((".parquet", ".orc")):
                 n_files += 1
-                n_bytes += os.path.getsize(os.path.join(dirpath, fn))
+                n_bytes += st.getLen()
     return n_files, n_bytes
+
+
+def path_exists(spark: SparkSession, location: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — valid for any
+    scheme the cluster can reach (HDFS, S3A, local), unlike ``os.path``."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
 
 
 def table_exists(spark: SparkSession, table: TableRef | str) -> bool:
     ref = _as_ref(table)
     if ref.format == ICEBERG:
         return spark.catalog.tableExists(ref.location)
-    import os
-
-    return os.path.exists(ref.location)
+    return path_exists(spark, ref.location)
