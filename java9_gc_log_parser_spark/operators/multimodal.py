@@ -5,12 +5,24 @@ a metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` (the only sanctioned
 Python hot path — batch-at-a-time, never row-at-a-time).
 
-The actual codec libraries are not available in this container, so the decode
-kernel is a clearly-marked DETERMINISTIC STUB (`_fake_decode`): it derives
-plausible metadata (width/height/frames) from the byte content by pure
-arithmetic. Everything around it — schema, batch iteration, Arrow transfer,
-partition-parallel execution — is the real Spark plumbing a production decode
-would use; swapping `_fake_decode` for PIL/ffmpeg is a one-function change.
+Decode has TWO paths selected per call (r3 verdict task #2):
+
+* ``decoder="real"`` — an actual still-image decode through
+  ``_decode_image``: binary PPM (P6) in pure Python (always available, so
+  this path is exercised and parity-tested even in this codec-less
+  container), plus anything PIL can open when PIL is importable
+  (``PIL_AVAILABLE``; probed at import, tests skip cleanly without it).
+  Undecodable payloads dead-letter (NULL metadata / dropped), never raise.
+* ``decoder="stub"`` — a clearly-marked DETERMINISTIC STUB
+  (``_fake_decode`` spec): metadata from byte arithmetic, features from the
+  raw byte histogram. The oracled queries (q24/q25/q127) pin this path
+  because their corpus is text bytes, which no real codec accepts; the
+  DuckDB oracles replay its arithmetic exactly.
+
+Everything around the codec boundary — schema, batch iteration, Arrow
+transfer, partition-parallel execution, the one-bincount featurization —
+is identical between the paths and is the real Spark plumbing a
+production decode uses.
 """
 
 from __future__ import annotations
@@ -37,8 +49,77 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-#: swap for a real decoder (PIL.Image.open / torchaudio / ffmpeg frame grab)
-REAL_DECODERS_AVAILABLE = False
+def _probe_pil():
+    """Detect PIL at import (r3 verdict task #2): absent in this container,
+    but the real-decode path below routes through it automatically wherever
+    it exists. Tests that need it skip cleanly (the Iceberg-jar pattern)."""
+    try:  # pragma: no cover - environment-dependent
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL_IMAGE = _probe_pil()
+
+#: True when ANY real still-image decode path exists. The pure-Python PPM
+#: (P6) decoder below always works — so the real path is exercisable (and
+#: parity-tested) even in codec-less containers; PIL widens it to PNG/JPEG.
+REAL_DECODERS_AVAILABLE = True
+PIL_AVAILABLE = _PIL_IMAGE is not None
+
+
+def _decode_image(payload: bytes):
+    """Decode one still image: ``(width, height, pixel_bytes)`` or ``None``
+    if the payload is not a decodable image (the caller dead-letters it).
+
+    This is the per-item codec boundary — the ONLY unavoidable per-row
+    Python in the real path (a C codec call per payload; PIL/libjpeg do
+    exactly this internally). Everything around it stays batch-vectorized.
+
+    Formats: binary PPM ``P6`` (pure Python: a 15-line header parse + raw
+    RGB bytes — no library needed, which is what makes the real path
+    testable in this container), else anything PIL can open when present.
+    """
+    if payload[:2] == b"P6":
+        try:
+            # header: b"P6" <ws> width <ws> height <ws> maxval <single-ws>
+            # with '#' comment lines allowed between tokens
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while payload[pos : pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[
+                    pos : pos + 1
+                ].isspace():
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            pos += 1  # exactly one whitespace byte before the raster
+            w, h, maxval = fields
+            if maxval > 255 or w <= 0 or h <= 0:
+                return None
+            raster = payload[pos : pos + 3 * w * h]
+            if len(raster) != 3 * w * h:
+                return None
+            return w, h, raster
+        except (ValueError, IndexError):
+            return None
+    if _PIL_IMAGE is not None:  # pragma: no cover - needs PIL in env
+        import io
+
+        try:
+            with _PIL_IMAGE.open(io.BytesIO(payload)) as im:
+                im = im.convert("RGB")
+                return im.width, im.height, im.tobytes()
+        except Exception:  # noqa: BLE001 - undecodable -> dead-letter
+            return None
+    return None
 
 
 def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int]:
@@ -59,26 +140,93 @@ def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int]:
     return width, height, frames
 
 
-def decode_and_featurize(assets: DataFrame, feat_dim: int = 8) -> DataFrame:
+def decode_and_featurize(
+    assets: DataFrame, feat_dim: int = 8, decoder: str = "stub"
+) -> DataFrame:
     """mapInPandas decode/feature stage over (asset_id, modality, content).
 
-    Feature vector is a deterministic byte-histogram projection (stub for a
-    real embedding model). The kernel is fully batch-vectorized: metadata is
-    column arithmetic on the length vector, and the per-asset byte histogram
-    is ONE concatenated buffer + ONE segment-offset bincount for the whole
+    ``decoder="stub"`` (default): metadata by deterministic byte arithmetic
+    and a raw-byte histogram feature — the engine-replayable path the
+    q24/q25 DuckDB oracles check (their corpus is text bytes, which no real
+    codec accepts, so the oracled queries pin this path explicitly).
+
+    ``decoder="real"``: decode each payload as a still image through
+    ``_decode_image`` (pure-Python PPM always; PNG/JPEG wherever PIL
+    exists), metadata from the actual header, feature = pixel-value
+    histogram. Undecodable payloads dead-letter in place: NULL
+    width/height, n_frames 0, zero feature — never an exception, matching
+    the route stage's unmatched discipline. The per-payload codec call is
+    the codec boundary; the featurization is still ONE concatenated
+    buffer + ONE segment bincount per batch.
+
+    Shared-column contract (parity-tested in tests/test_multimodal.py):
+    asset_id, modality, n_bytes are identical across both paths.
+
+    The stub kernel is fully batch-vectorized: metadata is column
+    arithmetic on the length vector, and the per-asset byte histogram is
+    ONE concatenated buffer + ONE segment-offset bincount for the whole
     Arrow batch — O(1) numpy calls per batch, no per-row Python loop (the
-    r2-verdict defect: per-content ``np.frombuffer`` + ``_fake_decode`` in a
-    list comprehension was O(rows) interpreter work per batch, and this
-    kernel is the template a real codec swap inherits).
+    r2-verdict defect: per-content ``np.frombuffer`` + ``_fake_decode`` in
+    a list comprehension was O(rows) interpreter work per batch).
     """
     import numpy as np
+
+    if decoder not in ("stub", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def real_batches(
+        it: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            content = pdf["content"]
+            n_bytes = content.str.len().to_numpy(dtype="int64")
+            n_rows = len(n_bytes)
+            decoded = [_decode_image(p) for p in content]  # codec boundary
+            ok = np.array([d is not None for d in decoded])
+            w = np.array(
+                [d[0] if d else 0 for d in decoded], dtype="int64"
+            )
+            h = np.array(
+                [d[1] if d else 0 for d in decoded], dtype="int64"
+            )
+            pix_len = 3 * w * h
+            buf = np.frombuffer(
+                b"".join(d[2] for d in decoded if d), dtype=np.uint8
+            )
+            seg = np.repeat(np.arange(n_rows, dtype="int64"), pix_len)
+            flat = np.bincount(
+                seg * feat_dim + (buf % feat_dim),
+                minlength=n_rows * feat_dim,
+            )
+            feats = (
+                flat.reshape(n_rows, feat_dim)
+                / np.maximum(pix_len, 1)[:, None]
+            ).astype("float32")
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "modality": pdf["modality"],
+                    "n_bytes": n_bytes,
+                    "width": pd.array(
+                        np.where(ok, w, 0).astype("int32"), dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        np.where(ok, h, 0).astype("int32"), dtype="Int32"
+                    ),
+                    "n_frames": np.where(ok, 1, 0).astype("int32"),
+                    "feature": feats.tolist(),
+                }
+            )
+            out.loc[~ok, "width"] = None
+            out.loc[~ok, "height"] = None
+            yield out
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in it:
-            if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-                raise NotImplementedError("plug real codecs here")
             content = pdf["content"]
             n_bytes = content.str.len().to_numpy(dtype="int64")
             w = (64 + n_bytes % 512).astype("int32")
@@ -110,7 +258,9 @@ def decode_and_featurize(assets: DataFrame, feat_dim: int = 8) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(batches, FEATURE_SCHEMA)
+    return assets.mapInPandas(
+        real_batches if decoder == "real" else batches, FEATURE_SCHEMA
+    )
 
 
 def documents_as_assets(docs: DataFrame) -> DataFrame:
@@ -149,7 +299,7 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
-def ahash_signatures(assets: DataFrame) -> DataFrame:
+def ahash_signatures(assets: DataFrame, decoder: str = "stub") -> DataFrame:
     """Perceptual average-hash (aHash) per asset, 64 bits, batch-vectorized.
 
     Real aHash: resize the decoded image to 8x8 grayscale, threshold each
@@ -158,8 +308,16 @@ def ahash_signatures(assets: DataFrame) -> DataFrame:
     segments for any length), bit s is set iff the cell has bytes AND
     ``cell_sum * n > total_sum * cell_count`` — exact integer
     cross-multiplication, no float mean, so the DuckDB oracle replays the
-    bits from raw bytes with zero seam. Swapping in a real decode changes
-    only the byte source, exactly like `decode_and_featurize`.
+    bits from raw bytes with zero seam (q127 pins ``decoder="stub"``: its
+    corpus is text bytes). ``decoder="real"`` swaps ONLY the byte source:
+    payloads decode through ``_decode_image`` (PPM always, PIL formats
+    when present) and the identical kernel hashes the interleaved-RGB
+    pixel stream — its 64 balanced segments are the 8x8-cell analog over
+    the flattened raster; undecodable payloads are dropped (dead-letter).
+
+    Kernel discipline either way: the per-payload codec call is the only
+    per-row Python (real path), and the hash itself stays ONE
+    concatenated buffer + two bincounts per batch.
 
     Kernel discipline (the r2-verdict standard): one concatenated buffer,
     segment ids by arithmetic, TWO bincounts (weighted + unweighted) and a
@@ -170,11 +328,22 @@ def ahash_signatures(assets: DataFrame) -> DataFrame:
     """
     import numpy as np
 
+    if decoder not in ("stub", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in it:
             content = pdf["content"]
+            if decoder == "real":
+                decoded = [_decode_image(p) for p in content]
+                keep = [d is not None for d in decoded]
+                pdf = pdf.loc[keep]
+                content = pd.Series(
+                    [d[2] for d in decoded if d is not None],
+                    index=pdf.index,
+                )
             n_bytes = content.str.len().to_numpy(dtype="int64")
             n_rows = len(n_bytes)
             buf = np.frombuffer(b"".join(content), dtype=np.uint8)

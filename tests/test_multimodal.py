@@ -190,3 +190,124 @@ def test_ahash_oracle_byte_exact_on_non_ascii(spark):
     }
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 0  # sanity: the identical pair
+
+
+def _ppm(w, h, pixel_fn):
+    """Minimal binary PPM (P6) encoder for fixtures: pure bytes, no libs."""
+    raster = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in pixel_fn(x, y)
+    )
+    return b"P6\n# fixture\n%d %d\n255\n" % (w, h) + raster
+
+
+def test_real_decode_ppm_metadata_and_features(spark):
+    """decoder='real': width/height come from the actual image header, the
+    feature is the pixel-value histogram, and a non-image payload
+    dead-letters in place (NULL metadata, zero feature) instead of
+    raising."""
+    import numpy as np
+
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        decode_and_featurize,
+    )
+
+    img1 = _ppm(4, 3, lambda x, y: (x * 16, y * 16, (x + y) * 8))
+    img2 = _ppm(2, 2, lambda x, y: (255, 0, 128))
+    junk = b"definitely not an image payload"
+    df = spark.createDataFrame(
+        [(1, "image", img1), (2, "image", img2), (3, "image", junk)],
+        "asset_id long, modality string, content binary",
+    )
+    rows = {
+        r.asset_id: r
+        for r in decode_and_featurize(df, feat_dim=8, decoder="real").collect()
+    }
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (4, 3, 1)
+    assert (rows[2].width, rows[2].height) == (2, 2)
+    assert rows[3].width is None and rows[3].height is None
+    assert rows[3].n_frames == 0 and all(v == 0.0 for v in rows[3].feature)
+    # feature parity vs a pure-python pixel histogram
+    raster = img1[img1.index(b"255\n") + 4:]
+    hist = np.zeros(8)
+    for b in raster:
+        hist[b % 8] += 1
+    want = (hist / len(raster)).astype("float32")
+    assert np.allclose(rows[1].feature, want, atol=1e-6)
+    # n_bytes stays the PAYLOAD size (shared-column contract)
+    assert rows[1].n_bytes == len(img1)
+
+
+def test_stub_and_real_share_identity_columns(spark):
+    """Shared-column parity (the r3 verdict's 'parity-test the shared
+    metadata fields' criterion): asset_id, modality, n_bytes are identical
+    across decoder paths on the same assets."""
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        decode_and_featurize,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", _ppm(3, 2, lambda x, y: (x, y, x + y))),
+            (2, "image", b"junk bytes"),
+        ],
+        "asset_id long, modality string, content binary",
+    )
+    cols = ["asset_id", "modality", "n_bytes"]
+    stub = sorted(
+        tuple(r) for r in decode_and_featurize(assets, decoder="stub")
+        .select(*cols).collect()
+    )
+    real = sorted(
+        tuple(r) for r in decode_and_featurize(assets, decoder="real")
+        .select(*cols).collect()
+    )
+    assert stub == real
+
+
+def test_real_ahash_identical_rasters_pair(spark):
+    """decoder='real' aHash: byte-identical rasters inside different PPM
+    payload framings (different comments) must hash identically — proof
+    the hash reads DECODED pixels, not payload bytes; junk payloads are
+    dropped."""
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+
+    px = lambda x, y: ((x * 37) % 256, (y * 91) % 256, (x * y) % 256)  # noqa: E731
+    a = _ppm(16, 16, px)
+    b = b"P6\n# other comment entirely\n16 16\n255\n" + a[a.index(b"255\n") + 4:]
+    assert a != b  # payload bytes differ...
+    df = spark.createDataFrame(
+        [(1, "image", a), (2, "image", b), (3, "image", b"junk")],
+        "asset_id long, modality string, content binary",
+    )
+    got = {r.asset_id: r.ahash
+           for r in ahash_signatures(df, decoder="real").collect()}
+    assert set(got) == {1, 2}  # junk dead-lettered
+    assert got[1] == got[2]  # ...but the decoded rasters are identical
+
+
+def test_pil_path_when_available(spark):
+    """PIL leg of the real decoder — skips cleanly where PIL is absent
+    (this container), runs wherever it exists (the Iceberg-jar pattern)."""
+    import pytest
+
+    from java9_gc_log_parser_spark.operators import multimodal as mm
+
+    if not mm.PIL_AVAILABLE:
+        pytest.skip("PIL not importable in this environment")
+    import io
+
+    from PIL import Image  # pragma: no cover - needs PIL
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 4), (10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", buf.getvalue())],
+        "asset_id long, modality string, content binary",
+    )
+    row = mm.decode_and_featurize(df, decoder="real").collect()[0]
+    assert (row.width, row.height, row.n_frames) == (5, 4, 1)
