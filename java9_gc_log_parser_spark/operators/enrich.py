@@ -40,6 +40,24 @@ def salted_join(
     values (a bounded ``explode(sequence(...))``); the join runs on
     ``(key, salt)`` so a hot key's rows spread over ``n_salts`` tasks.
 
+    **When to use vs AQE skew-split** (measured, `scripts/bench_skew_aqe.py`
+    → `BENCH_skew_aqe.json`, summarized in BASELINE.md): AQE's
+    OptimizeSkewedJoin makes the manual rewrite REDUNDANT for plain batch
+    inner joins — once its byte thresholds fire it split the same hot
+    partition to a 6× spread for free, and stacking salting on top of AQE
+    gave the flattest spread (5×). Salting still EARNS its complexity in
+    three measured/structural cases: (1) byte-threshold blindness — a hot
+    key of identical strings compressed ~50:1, so an 8.7× ROW skew looked
+    sub-threshold in BYTES and default-threshold AQE did not split at all
+    (salting keys on row identity is compression-immune); (2) any stateful
+    or streaming join (no AQE re-plan inside micro-batches); (3) when the
+    join output must keep a stable partitioning for a downstream
+    co-partitioned op (AQE's split is only applied there under
+    forceOptimizeSkewedJoin, which re-shuffles). Size ``n_salts`` to the
+    hot-key factor and keep it well below shuffle partitions — salt groups
+    hash into reduce partitions, and at bench scale 8 groups into 32
+    partitions collided 3-into-1 (visible in the recorded spread).
+
     Semantics are EXACTLY the plain inner join — every fact row meets
     precisely the one dim replica carrying its salt — so the oracle runs
     the UNSALTED join and equality is the correctness proof (plus the
