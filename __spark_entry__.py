@@ -2626,6 +2626,22 @@ def q135_ann_ivf_pq(spark, sf_dir):
     return ann_ivf_pq_recall_report(_embs(spark, sf_dir))
 
 
+def q136_rendezvous_reshard(spark, sf_dir):
+    """Rendezvous-hashing reshard movement matrix (the minimal-movement
+    re-layout audit): HRW argmax shard assignment at 8 and at 10 shards,
+    one row per (shard_from, shard_to) with doc counts. The HRW theorem
+    makes every off-diagonal row land on a NEW shard (shard_to >= 8) and
+    bounds expected movement at k/(n+k) ≈ 20% — vs ~96% for modulo
+    resharding — which at 100 TB is the difference between copying
+    ~17 TB and re-copying the corpus. Oracle replays the per-(doc,shard)
+    md5 argmax with the identical tie-break."""
+    from java9_gc_log_parser_spark.operators.sampling import (
+        reshard_movement_matrix,
+    )
+
+    return reshard_movement_matrix(_docs(spark, sf_dir), n_from=8, n_to=10)
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -5595,6 +5611,33 @@ FROM per_q LEFT JOIN ap_n ON per_q.query_id = ap_n.query_id
 _ORACLES["q130_ann_pq"] = _pq_oracle_sql()
 _ORACLES["q135_ann_ivf_pq"] = _ivf_pq_oracle_sql()
 
+_ORACLES["q136_rendezvous_reshard"] = """
+WITH sc8 AS (
+  SELECT doc_id, s,
+         md5(CAST(doc_id AS VARCHAR) || ':hrw:v1:' || CAST(s AS VARCHAR))
+           AS score
+  FROM documents, (SELECT unnest(range(8)) AS s)
+), a8 AS (
+  SELECT doc_id, CAST(s AS INT) AS shard_from FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, s DESC) AS rk
+    FROM sc8) WHERE rk = 1
+), sc10 AS (
+  SELECT doc_id, s,
+         md5(CAST(doc_id AS VARCHAR) || ':hrw:v1:' || CAST(s AS VARCHAR))
+           AS score
+  FROM documents, (SELECT unnest(range(10)) AS s)
+), a10 AS (
+  SELECT doc_id, CAST(s AS INT) AS shard_to FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, s DESC) AS rk
+    FROM sc10) WHERE rk = 1
+)
+SELECT shard_from, shard_to, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM a8 JOIN a10 USING (doc_id) GROUP BY 1, 2
+"""
+
+
 _ORACLES["q131_compaction_apply"] = """
 WITH fs AS (
   SELECT source,
@@ -6610,6 +6653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_hll_set_ops": q133_hll_set_ops,
         "q134_dataset_card": q134_dataset_card,
         "q135_ann_ivf_pq": q135_ann_ivf_pq,
+        "q136_rendezvous_reshard": q136_rendezvous_reshard,
     }
     # Driver-gate rotation (VERDICT r3 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in

@@ -677,3 +677,68 @@ def weighted_priority_sample(
             F.floor(F.col("_wp_pri") * F.lit(1e12)).cast("long").alias("pri_e12"),
         )
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    out: str = "shard",
+    salt: str = "hrw:v1",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: shard =
+    argmax over s of ``md5(id || ':' || salt || ':' || s)``.
+
+    The property ``shard_assign``'s modulo hashing cannot give: when the
+    shard count grows n → n+k, a row moves IFF one of the k NEW shards
+    wins its argmax — expected movement k/(n+k) of rows, and every move
+    lands on a new shard (Thaler & Ravishankar 1996, the HRW theorem).
+    Modulo resharding relocates ~1 - 1/lcm(n, n+k) of rows — at 100 TB
+    the difference is re-copying ~17 TB vs ~96 TB when going 8 → 10.
+
+    Map-only: the per-row score array is a ``transform(sequence(...))``
+    over ``n_shards`` struct literals folded by ``array_max`` (struct
+    ordering = score desc via max, shard desc on the astronomically
+    unlikely hex tie — the oracle replays ORDER BY score DESC, s DESC).
+    Cost is O(n_shards) md5 calls per row, so the same 4096 cap as
+    ``shard_assign``; for >4096 shards compose two HRW levels.
+    """
+    if not 1 <= n_shards <= 4096:
+        raise ValueError(f"n_shards must be in [1, 4096], got {n_shards}")
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":" + salt + ":"),
+                    s.cast("string"),
+                )
+            ).alias("score"),
+            s.cast("int").alias("shard"),
+        ),
+    )
+    return df.withColumn(out, F.array_max(scores)["shard"])
+
+
+def reshard_movement_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_from: int = 8,
+    n_to: int = 10,
+) -> DataFrame:
+    """Movement matrix for an HRW reshard n_from → n_to: one row per
+    (shard_from, shard_to) with its doc count — the audit a platform
+    reads BEFORE executing a corpus re-layout, since off-diagonal mass
+    is exactly the bytes that will be copied.
+
+    Under HRW growth every off-diagonal row must have shard_to >=
+    n_from (moves go only TO new shards) — asserted in tests, visible
+    in the oracled matrix. Cost: two map-only assignments + ONE
+    shuffle of <= n_from × n_to tiny groups (map-side combined).
+    """
+    a = rendezvous_shard(df, id_col, n_from, out="shard_from")
+    b = rendezvous_shard(a, id_col, n_to, out="shard_to")
+    return b.groupBy("shard_from", "shard_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

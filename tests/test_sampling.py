@@ -315,3 +315,45 @@ def test_epoch_order_is_a_permutation_and_epoch_sensitive(spark):
     # same epoch is stable
     e1b = epoch_order(docs, epoch=1, n_shards=4).collect()
     assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+
+
+def test_hrw_growth_moves_only_to_new_shards(spark):
+    """The HRW theorem, observed: growing 8 -> 10 shards, every moved doc
+    lands on shard 8 or 9 (a doc moves iff a NEW shard wins its argmax),
+    and unmoved docs keep their shard. Movement fraction is near the
+    theoretical k/(n+k) = 0.2."""
+    from java9_gc_log_parser_spark.operators.sampling import (
+        reshard_movement_matrix,
+    )
+
+    docs = spark.range(2000).selectExpr("id AS doc_id")
+    rows = reshard_movement_matrix(docs, n_from=8, n_to=10).collect()
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_docs for r in rows if r.shard_from != r.shard_to)
+    assert total == 2000
+    for r in rows:
+        if r.shard_from != r.shard_to:
+            assert r.shard_to >= 8, (r.shard_from, r.shard_to)
+    assert 0.12 < moved / total < 0.28  # k/(n+k) = 0.2 +- sampling noise
+
+
+def test_hrw_shard_balance_and_determinism(spark):
+    from java9_gc_log_parser_spark.operators.sampling import rendezvous_shard
+
+    docs = spark.range(4000).selectExpr("id AS doc_id")
+    counts = {
+        r.shard: r.n
+        for r in rendezvous_shard(docs, n_shards=8)
+        .groupBy("shard").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) / min(counts.values()) < 1.4
+    again = {
+        r.doc_id: r.shard
+        for r in rendezvous_shard(docs, n_shards=8).collect()
+    }
+    first = {
+        r.doc_id: r.shard
+        for r in rendezvous_shard(docs, n_shards=8).collect()
+    }
+    assert again == first  # pure function of (id, salt, n)
