@@ -2642,6 +2642,30 @@ def q136_rendezvous_reshard(spark, sf_dir):
     return reshard_movement_matrix(_docs(spark, sf_dir), n_from=8, n_to=10)
 
 
+def q137_blocking_quality(spark, sf_dir):
+    """Record-linkage blocking-quality audit: the CAPPED PassJoin
+    (max_seg_freq=2, the bounded config for skewed corpora — chosen so
+    the audit is NON-vacuous at test scale: it misses real pairs, 0.68
+    completeness at sf0.001 / 0.88 at sf0.01) graded
+    against the exact uncapped join — one row of
+    n_exact/n_capped/n_missed/completeness_micro. Capped pairs are
+    materialized so the oracle recomputes the identical report from its
+    own brute-force levenshtein exact leg (q104's independence) plus the
+    stored capped set (q22's materialized-seam discipline)."""
+    from java9_gc_log_parser_spark.operators.linkage import (
+        blocking_quality_audit,
+        normalized_title,
+    )
+
+    titles = _docs(spark, sf_dir).select(
+        "doc_id", normalized_title("text").alias("title")
+    )
+    return blocking_quality_audit(
+        titles, max_seg_freq=2,
+        store_path="/tmp/gclp_oracle/passjoin_capped_pairs.parquet",
+    )
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -5611,6 +5635,38 @@ FROM per_q LEFT JOIN ap_n ON per_q.query_id = ap_n.query_id
 _ORACLES["q130_ann_pq"] = _pq_oracle_sql()
 _ORACLES["q135_ann_ivf_pq"] = _ivf_pq_oracle_sql()
 
+_ORACLES["q137_blocking_quality"] = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(substr(text, 1, 24)),
+                             '[^a-z0-9 ]', '', 'g')) AS title
+  FROM documents
+), f AS (
+  SELECT doc_id, title, length(title) AS m FROM t WHERE length(title) >= 2
+), exact AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM f a JOIN f b
+    ON a.doc_id < b.doc_id
+   AND abs(a.m - b.m) <= 1
+   AND levenshtein(a.title, b.title) <= 1
+), capped AS (
+  SELECT DISTINCT a_id, b_id
+  FROM read_parquet('/tmp/gclp_oracle/passjoin_capped_pairs.parquet/*.parquet')
+), j AS (
+  SELECT e.a_id, e.b_id, c.a_id IS NOT NULL AS hit
+  FROM exact e LEFT JOIN capped c USING (a_id, b_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM capped) AS n_capped_pairs,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_missed_pairs,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(ROUND(SUM(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE
+                    / COUNT(*) * 1e6) AS BIGINT) END AS completeness_micro
+FROM j
+"""
+
+
 _ORACLES["q136_rendezvous_reshard"] = """
 WITH sc8 AS (
   SELECT doc_id, s,
@@ -6654,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_dataset_card": q134_dataset_card,
         "q135_ann_ivf_pq": q135_ann_ivf_pq,
         "q136_rendezvous_reshard": q136_rendezvous_reshard,
+        "q137_blocking_quality": q137_blocking_quality,
     }
     # Driver-gate rotation (VERDICT r3 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in

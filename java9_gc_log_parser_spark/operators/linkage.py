@@ -179,3 +179,72 @@ def edit_distance_join(
         .filter(F.col("ed") <= 1)
         .select("a_id", "b_id", "ed", "len_a", "len_b")
     )
+
+
+def blocking_quality_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "title",
+    max_seg_freq: int = 1,
+    store_path: str | None = None,
+) -> DataFrame:
+    """Price the ``max_seg_freq`` completeness trade (the q119/q120
+    audit pattern applied to record linkage): run the CAPPED PassJoin —
+    the bounded production config that drops hot index segments — against
+    the exact uncapped join (complete for ed<=1 by the pigeonhole
+    theorem) and report one row:
+
+      ``(n_exact_pairs, n_capped_pairs, n_missed_pairs,
+         completeness_micro)``
+
+    Soundness is structural (every capped pair passes the exact
+    levenshtein verify, so capped ⊆ exact — n_missed is exactly
+    n_exact - n_capped); completeness is the measured number a platform
+    watches when it tightens the cap on a skewed corpus.
+
+    ``store_path``: the capped pair set is materialized there so the
+    DuckDB oracle can recompute the SAME report from its own independent
+    brute-force exact leg + the stored capped pairs (the q22
+    materialized-seam discipline — blocking mechanics are Spark-side,
+    the audit arithmetic is engine-checked).
+
+    Scale shape: both legs are the existing PassJoin operator (map-only
+    key fan-out + equi-join); the comparison joins two pair sets on
+    their keys and collapses to one row via map-side-combinable aggs +
+    a 1×1 combine join.
+    """
+    capped = edit_distance_join(
+        df, id_col=id_col, str_col=str_col, max_seg_freq=max_seg_freq
+    ).select("a_id", "b_id")
+    if store_path is not None:
+        capped.write.mode("overwrite").parquet(store_path)
+        spark = df.sparkSession
+        capped = spark.read.parquet(store_path).select("a_id", "b_id")
+    exact = edit_distance_join(df, id_col=id_col, str_col=str_col).select(
+        "a_id", "b_id"
+    )
+    j = exact.join(
+        capped.withColumn("_hit", F.lit(1)), ["a_id", "b_id"], "left"
+    )
+    left = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.sum(F.col("_hit").isNotNull().cast("long")).alias("_n_found"),
+    )
+    right = capped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_capped_pairs")
+    )
+    return left.crossJoin(right).select(
+        "n_exact_pairs",
+        "n_capped_pairs",
+        (F.col("n_exact_pairs") - F.col("_n_found"))
+        .cast("long")
+        .alias("n_missed_pairs"),
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.round(
+                F.col("_n_found").cast("double")
+                / F.col("n_exact_pairs")
+                * 1e6
+            ).cast("long"),
+        ).alias("completeness_micro"),
+    )
