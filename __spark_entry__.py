@@ -2882,8 +2882,10 @@ FROM transcripts GROUP BY date_trunc('hour', ts)
     "q11_bucket_pause_stats": O.with_ctes() + """
 SELECT date_trunc('hour', ts) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS pause_count,
-       ROUND(AVG(duration_ms), 6) AS mean_ms,
-       ROUND(CAST(quantile_cont(duration_ms, 0.99) AS DOUBLE), 6) AS p99_ms
+       SUM(CAST(ROUND(duration_ms * 1000) AS BIGINT))::DOUBLE
+         / (COUNT(*) * 1000)::DOUBLE AS mean_ms,
+       CAST(quantile_cont(CAST(ROUND(duration_ms * 1000) AS BIGINT), 0.99)
+            AS DOUBLE) / 1000.0 AS p99_ms
 FROM easm WHERE verdict = 'ok'
 GROUP BY date_trunc('hour', ts)
 """,
@@ -4573,10 +4575,10 @@ SELECT user_id,
        step > 0 AS filled,
        (nb IS NOT NULL AND nb - bucket - 1 > 8) AS gap_truncated,
        CAST(CASE WHEN step = 0 THEN n_obs ELSE 0 END AS BIGINT) AS n_obs,
-       ROUND(v, 6) AS v_locf,
-       ROUND(CASE WHEN nb IS NULL THEN v
-             ELSE v + ((nv - v) * CAST(step AS DOUBLE))
-                      / CAST(nb - bucket AS DOUBLE) END, 6) AS v_interp
+       v AS v_locf,
+       CASE WHEN nb IS NULL THEN v
+            ELSE v + ((nv - v) * CAST(step AS DOUBLE))
+                     / CAST(nb - bucket AS DOUBLE) END AS v_interp
 FROM x
 """
 
@@ -4970,7 +4972,7 @@ r0 AS (
   FROM documents
 ){_PR_ITERS}
 SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp,
-       ROUND(r::DOUBLE / 1000000000000.0, 9) AS rank
+       r::DOUBLE / 1000000000000.0 AS rank
 FROM r5
 """
 
@@ -5251,9 +5253,9 @@ _ORACLES["q122_classifier_gate"] = _DTOK + """
   SELECT d.doc_id,
          COALESCE(n_tokens, 0) AS n_tokens,
          COALESCE(sum_w_milli, 0) AS sum_w_milli,
-         ROUND(CASE WHEN COALESCE(n_tokens, 0) > 0
+         FLOOR((CASE WHEN COALESCE(n_tokens, 0) > 0
            THEN 0.05 + sum_w_milli::DOUBLE / (1000.0 * n_tokens)
-           ELSE 0.05 END, 6) AS logit
+           ELSE 0.05 END) * 1e6 + 0.5) / 1e6 AS logit
   FROM dtok d LEFT JOIN per USING (doc_id)
 )
 SELECT doc_id, n_tokens, sum_w_milli, logit, logit >= 0.0 AS keep
@@ -6004,9 +6006,9 @@ WITH cells AS (
   FROM cells c JOIN tot t USING (event_type, hour)
 )
 SELECT event_type, day, hour, n_d AS n_day,
-  ROUND((s_d::DOUBLE / n_d::DOUBLE) / 100.0, 6) AS mean_day,
-  ROUND(CASE WHEN n_b > 0 THEN (s_b::DOUBLE / n_b::DOUBLE) / 100.0 END,
-        6) AS mean_base,
+  (s_d::DOUBLE / n_d::DOUBLE) / 100.0 AS mean_day,
+  CASE WHEN n_b > 0 THEN (s_b::DOUBLE / n_b::DOUBLE) / 100.0 END
+    AS mean_base,
   CASE WHEN n_b >= 2 AND
             (n_b::DOUBLE * q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
             / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) > 0

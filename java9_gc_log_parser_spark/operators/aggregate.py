@@ -156,13 +156,29 @@ def bucket_turn_counts(transcripts: DataFrame, bucket: str = "hour") -> DataFram
 
 
 def bucket_pause_stats(assembled: DataFrame, bucket: str = "hour") -> DataFrame:
-    """G3b: per-bucket pause count, mean and exact p99 duration."""
+    """G3b: per-bucket pause count, mean and exact p99 duration.
+
+    Exactness contract: durations carry exactly 3 decimals, so the mean
+    is SUM(exact milli BIGINT) / (1000 * count) — a deterministic double
+    from identical integers in both engines, with NO final ROUND
+    (AVG(double) sums in partition order, and F.round's shortest-decimal
+    tie handling diverged from DuckDB's binary ROUND at sf0.1). The p99
+    is the exact interpolating percentile over the SAME milli integers
+    (the q73 bit-equality contract with quantile_cont), divided once at
+    the boundary, also un-rounded.
+    """
     return (
-        assembled.groupBy(F.date_trunc(bucket, "ts").alias("bucket"))
+        assembled.withColumn(
+            "_milli", F.round(F.col("duration_ms") * 1000).cast("long")
+        )
+        .groupBy(F.date_trunc(bucket, "ts").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("pause_count"),
-            F.round(F.avg("duration_ms"), 6).alias("mean_ms"),
-            F.round(F.percentile("duration_ms", 0.99), 6).alias("p99_ms"),
+            (
+                F.sum("_milli").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000)).cast("double")
+            ).alias("mean_ms"),
+            (F.percentile("_milli", 0.99) / F.lit(1000.0)).alias("p99_ms"),
         )
     )
 

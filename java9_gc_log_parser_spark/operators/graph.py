@@ -118,7 +118,13 @@ def pagerank_fixed(
     return ranks.select(
         F.col("_id").alias(id_col),
         F.col("_r").alias("rank_fp"),
-        F.round(F.col("_r").cast("double") / F.lit(float(SCALE)), 9).alias("rank"),
+        # plain division of the exact integer — NO final ROUND: Spark
+        # rounds doubles through shortest-decimal BigDecimal (sees exact
+        # ties, HALF_UP) while DuckDB rounds the binary value, so
+        # ROUND(int/1e12, 9) diverged by 1e-9 whenever rank_fp ended in 500
+        # (first seen at sf0.1). The quotient of identical integers is the
+        # identical IEEE double in both engines.
+        (F.col("_r").cast("double") / F.lit(float(SCALE))).alias("rank"),
     )
 
 

@@ -709,8 +709,13 @@ def seasonal_anomaly(
         "day",
         "hour",
         F.col("n_d").alias("n_day"),
-        F.round(mean_d / F.lit(100.0), 6).alias("mean_day"),
-        F.round(mean_b / F.lit(100.0), 6).alias("mean_base"),
+        # plain division, NO final ROUND: the op tree from exact integer
+        # sums is bit-identical across engines, but ROUND(x, 6) is not —
+        # Spark rounds via shortest-decimal BigDecimal (exact-tie HALF_UP),
+        # DuckDB rounds the binary double, and at sf0.1 two cells landed
+        # exactly on the .5 boundary and diverged by 1e-6.
+        (mean_d / F.lit(100.0)).alias("mean_day"),
+        (mean_b / F.lit(100.0)).alias("mean_base"),
         flag.alias("is_anomaly"),
     )
 

@@ -732,12 +732,19 @@ def classifier_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
         + F.col("sum_w_milli").cast("double")
         / (1000.0 * F.col("n_tokens").cast("double")),
     ).otherwise(F.lit(CLF_BIAS_MILLI / 1000.0))
+    # 6-dp quantization via floor(x*1e6 + 0.5), NOT F.round: the logit is
+    # a rational (milli-sum / 1000n) that lands EXACTLY on .5 micro
+    # boundaries whenever n divides 1000*sum — and Spark's ROUND (shortest-
+    # decimal BigDecimal, HALF_UP on the exact tie) disagrees with
+    # DuckDB's binary-double ROUND there (diverged at sf0.1). floor is a
+    # pure function of the binary double, identical in both engines.
+    logit6 = F.floor(logit * 1e6 + 0.5) / 1e6
     return per_doc.select(
         "doc_id",
         "n_tokens",
         "sum_w_milli",
-        F.round(logit, 6).alias("logit"),
-        (F.round(logit, 6) >= 0.0).alias("keep"),
+        logit6.alias("logit"),
+        (logit6 >= 0.0).alias("keep"),
     )
 
 

@@ -113,8 +113,12 @@ def gapfill_locf(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("n_obs"),
-            F.round(F.col("_gf_v"), 6).alias("v_locf"),
-            F.round(interp, 6).alias("v_interp"),
+            # plain doubles, NO final ROUND: both values come from a
+            # fixed op tree over exact integers, bit-identical across
+            # engines — while F.round's shortest-decimal tie handling
+            # diverged from DuckDB's binary ROUND at sf0.1.
+            F.col("_gf_v").alias("v_locf"),
+            interp.alias("v_interp"),
         )
     )
 
