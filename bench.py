@@ -103,7 +103,10 @@ def _materialize_transcripts(sf_dir: str, replicate: int, path: str) -> int:
     from java9_gc_log_parser_spark.sources.transcripts import synth_transcripts
 
     spark = get_spark(app_name="gclp-bench-datagen", master="local[32]")
-    if not os.path.exists(path):
+    # a dir without _SUCCESS is a half-written leftover from an interrupted
+    # run — rewriting is idempotent (mode=overwrite), so require the commit
+    # marker, not mere existence
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         df = synth_transcripts(spark, sf_dir, replicate=replicate).repartition(64)
         df.write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()

@@ -44,6 +44,7 @@ PINNED_SAMPLE = [
     "q110_benford_audit",
     "q128_token_entropy",
     "q133_hll_set_ops",
+    "q136_rendezvous_reshard",
 ]
 
 
