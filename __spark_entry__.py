@@ -312,8 +312,27 @@ def _stream_parts(spark) -> str:
     the cluster-correct shape: on N executors you want >= N state
     partitions, while commit overhead only matters when partitions vastly
     outnumber cores. Results are partition-count-invariant (all oracles
-    unchanged); only wall time and sink file counts move."""
+    unchanged); only wall time and sink file counts move.
+
+    Scope: queries whose stateful stage is ``applyInPandasWithState``
+    (q26/q49/q51) plus the checkpoint batch runner — the ones where the
+    Python worker is the hot stage. JVM-stateful streams use
+    ``_jvm_state_parts`` instead."""
     return str(max(8, spark.sparkContext.defaultParallelism))
+
+
+def _jvm_state_parts(spark) -> str:
+    """Stateful-stage partition count for PURE-JVM streaming state
+    (stream-stream joins, window/session aggs, dropDuplicates, CMS
+    maintenance): there is no Python worker to parallelize, the per-batch
+    cost is dominated by state-store commits — which scale WITH partition
+    count — and the state itself is a few MB. Measured r4: lifting these
+    to core-count partitions regressed q66 4.5→11.3 s and q126 9.2→15.7 s
+    at sf0.1 while the same change cut the Python-stateful queries 2×,
+    so the two families get separate knobs. At production state volumes
+    (state ≫ one executor's heap) this floor rises to spread the store —
+    a state-size knob, not a compute-parallelism knob."""
+    return "8"
 
 
 def q26_stream_assembled(spark, sf_dir):
@@ -388,7 +407,7 @@ def q55_stream_atleastonce_dedup(spark, sf_dir):
     delay_s = int((hi - lo).total_seconds()) + 60
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -1109,7 +1128,7 @@ def q67_stream_cms_maintenance(spark, sf_dir):
 
     docs_schema = _docs(spark, sf_dir).schema
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
         q = (
             spark.readStream.schema(docs_schema)
@@ -1201,7 +1220,7 @@ def q66_stream_stream_join(spark, sf_dir):
         bucket.alias("r_bucket"),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
         q = (
             left.join(
@@ -1278,7 +1297,7 @@ def q64_stream_window_agg(spark, sf_dir):
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -1356,7 +1375,7 @@ def q68_stream_session_window(spark, sf_dir):
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -1544,7 +1563,7 @@ def q76_stream_static_join(spark, sf_dir):
     synth_transcripts(spark, sf_dir).repartition(32).write.parquet(src)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
         q = (
             spark.readStream.schema(_INPUT_SCHEMA)
@@ -2511,7 +2530,7 @@ def q126_stream_outer_join(spark, sf_dir):
         _await_drained(q)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
         _drain()  # matches; watermark still below every horizon
         sent_ts = hi + datetime.timedelta(seconds=2 * delay_s + 2 * bucket_s)
