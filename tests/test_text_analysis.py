@@ -492,3 +492,38 @@ def test_score_calibration_buckets_and_means(spark):
     assert rows[0]["keep_share"] == 0.0
     assert rows[9]["keep_share"] == 1.0
     assert rows[0]["mean_logit"] == pytest.approx(0.045, abs=1e-6)
+
+
+def test_normalize_text_folds_and_is_idempotent(spark):
+    """q138 chain on adversarial inputs: typography folds to ASCII,
+    control chars and runs collapse, trim applies, empty/whitespace-only
+    survive, and the audited idempotence column is true everywhere."""
+    from java9_gc_log_parser_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "“quoted” ‘single’ — dash"),
+        (2, "a\tb\r\nc\x00d"),
+        (3, "   leading  and   trailing   "),
+        (4, ""),
+        (5, " \t \n "),
+        (6, "already clean text"),
+        (7, "ellipsis… and nbsp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1].norm_md5 == h('"quoted" \'single\' - dash')
+    assert got[2].norm_md5 == h("a b c d")
+    assert got[3].norm_md5 == h("leading and trailing")
+    assert got[4].norm_md5 == h("")
+    assert got[5].norm_md5 == h("")
+    assert got[6].norm_md5 == h("already clean text")
+    assert got[7].norm_md5 == h("ellipsis... and nbsp")
+    assert all(r.idempotent for r in got.values())
+    assert not got[6].changed and got[1].changed
