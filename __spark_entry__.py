@@ -2722,6 +2722,21 @@ def q138_normalize_audit(spark, sf_dir):
     return normalize_text(noisy)
 
 
+def q139_budget_waterfill(spark, sf_dir):
+    """Max-min fair token-budget allocation across sources
+    (water-filling): B = 60% of total corpus tokens, a_s = min(supply_s,
+    level) with the level solved in exact BIGINT arithmetic (saturation
+    test + largest-remainder split, no floats anywhere). ONE corpus
+    token-count agg; the solver runs as windows over the
+    O(sources)-row table — no driver loop. The oracle replays the
+    identical sorted prefix-sum solver, allocation-for-allocation."""
+    from java9_gc_log_parser_spark.operators.sampling import (
+        budget_waterfill,
+    )
+
+    return budget_waterfill(_docs(spark, sf_dir))
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -5734,6 +5749,42 @@ SELECT doc_id, md5(t1) AS norm_md5,
 FROM n2
 """
 
+_ORACLES["q139_budget_waterfill"] = _DTOK + """
+, sup AS (
+  SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS supply_tokens
+  FROM dtok GROUP BY source
+), t AS (
+  SELECT *, row_number() OVER (ORDER BY supply_tokens, source) AS rk,
+         SUM(supply_tokens) OVER (ORDER BY supply_tokens, source
+                                  ROWS UNBOUNDED PRECEDING) AS prefix,
+         SUM(supply_tokens) OVER () AS total,
+         COUNT(*) OVER () AS n
+  FROM sup
+), t2 AS (
+  SELECT *, total * 3 // 5 AS b,
+         (prefix + (n - rk) * supply_tokens) <= (total * 3 // 5)
+           AS saturated
+  FROM t
+), t3 AS (
+  SELECT *,
+    SUM(CASE WHEN saturated THEN supply_tokens ELSE 0 END) OVER ()
+      AS sat_sum,
+    SUM(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS n_unsat,
+    SUM(CASE WHEN saturated THEN 0 ELSE 1 END)
+      OVER (ORDER BY supply_tokens, source ROWS UNBOUNDED PRECEDING)
+      AS unsat_idx
+  FROM t2
+)
+SELECT source, supply_tokens,
+  CAST(CASE WHEN saturated THEN supply_tokens
+       ELSE (b - sat_sum) // n_unsat
+            + CASE WHEN unsat_idx <= (b - sat_sum) % n_unsat
+              THEN 1 ELSE 0 END
+       END AS BIGINT) AS allocation_tokens,
+  saturated
+FROM t3
+"""
+
 _ORACLES["q137_blocking_quality"] = """
 WITH t AS (
   SELECT doc_id,
@@ -6811,6 +6862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_rendezvous_reshard": q136_rendezvous_reshard,
         "q137_blocking_quality": q137_blocking_quality,
         "q138_normalize_audit": q138_normalize_audit,
+        "q139_budget_waterfill": q139_budget_waterfill,
     }
     # Driver-gate rotation (VERDICT r3 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in

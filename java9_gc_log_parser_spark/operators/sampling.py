@@ -18,7 +18,7 @@ several independent splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
@@ -741,4 +741,97 @@ def reshard_movement_matrix(
     b = rendezvous_shard(a, id_col, n_to, out="shard_to")
     return b.groupBy("shard_from", "shard_to").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def budget_waterfill(
+    docs: DataFrame,
+    budget_num: int = 3,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Max-min fair token-budget allocation across sources (water-filling):
+    given budget B = total_tokens * budget_num / budget_den, allocate
+    ``a_s = min(supply_s, lambda)`` with ``sum(a_s) = B`` — the solver a
+    mixture designer runs to split a training budget across corpora
+    without starving small sources (the q47 mixture sampler then
+    materializes the allocation).
+
+    Exact-integer contract: sources sort by (supply asc, source asc);
+    source s is SATURATED iff funding everyone at least its supply is
+    affordable (prefix(s) + (n - rank_s)·supply_s <= B — the standard
+    water-level test); the unsaturated remainder splits as
+    base = (B - sat_sum) div n_unsat with the first (B - sat_sum) mod
+    n_unsat sources (same order) getting +1 — largest-remainder, all
+    BIGINT, so the oracle replays allocation-for-allocation with zero
+    float anywhere. sum(allocation) == B by construction (== total
+    supply when B exceeds it).
+
+    Scale shape: ONE corpus token-count agg (map-side combinable); the
+    solver itself runs on the O(sources)-row table via windows — no
+    driver loop, no collect.
+
+    Output: (source, supply_tokens, allocation_tokens, saturated).
+    """
+    from java9_gc_log_parser_spark.operators.text_analysis import tokens_col
+
+    sup = (
+        docs.select(
+            "source", F.size(tokens_col(F.col("text"))).alias("_nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("long").alias("supply_tokens"))
+    )
+    w = Window.orderBy("supply_tokens", "source")
+    wall = Window.partitionBy(F.lit(1))
+    t = (
+        sup.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "_prefix",
+            F.sum("supply_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_total", F.sum("supply_tokens").over(wall))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "_B",
+            F.expr(f"_total * {budget_num} div {budget_den}").cast("long"),
+        )
+        .withColumn(
+            "saturated",
+            F.col("_prefix")
+            + (F.col("_n") - F.col("_rk")) * F.col("supply_tokens")
+            <= F.col("_B"),
+        )
+    )
+    t = (
+        t.withColumn(
+            "_sat_sum",
+            F.sum(
+                F.when(F.col("saturated"), F.col("supply_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).over(wall),
+        )
+        .withColumn(
+            "_n_unsat",
+            F.sum((~F.col("saturated")).cast("long")).over(wall),
+        )
+        .withColumn(
+            "_unsat_idx",
+            F.sum((~F.col("saturated")).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    base = F.expr("(_B - _sat_sum) div _n_unsat").cast("long")
+    rem = F.expr("(_B - _sat_sum) % _n_unsat").cast("long")
+    alloc = F.when(F.col("saturated"), F.col("supply_tokens")).otherwise(
+        base + F.when(F.col("_unsat_idx") <= rem, F.lit(1)).otherwise(F.lit(0))
+    )
+    return t.select(
+        "source",
+        "supply_tokens",
+        alloc.cast("long").alias("allocation_tokens"),
+        "saturated",
     )

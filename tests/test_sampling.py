@@ -357,3 +357,47 @@ def test_hrw_shard_balance_and_determinism(spark):
         for r in rendezvous_shard(docs, n_shards=8).collect()
     }
     assert again == first  # pure function of (id, salt, n)
+
+
+def test_waterfill_allocates_exact_budget_and_caps(spark):
+    """q139 solver properties on a skewed supply: allocations sum to
+    EXACTLY B, no source exceeds its supply, small sources saturate
+    (get everything), big sources sit at a common level +-1."""
+    from java9_gc_log_parser_spark.operators.sampling import (
+        budget_waterfill,
+    )
+
+    rows = []
+    did = 0
+    for src, n_docs, words in (("tiny", 2, 3), ("small", 5, 10),
+                               ("big", 40, 50), ("huge", 80, 50)):
+        for _ in range(n_docs):
+            rows.append((did, src, "w " * words))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in budget_waterfill(docs).collect()}
+    supplies = {s: r.supply_tokens for s, r in got.items()}
+    total = sum(supplies.values())
+    B = total * 3 // 5
+    assert sum(r.allocation_tokens for r in got.values()) == B
+    for s, r in got.items():
+        assert r.allocation_tokens <= r.supply_tokens
+        assert r.saturated == (r.allocation_tokens == r.supply_tokens)
+    assert got["tiny"].saturated and got["small"].saturated
+    assert not got["huge"].saturated
+    unsat = [r.allocation_tokens for r in got.values() if not r.saturated]
+    assert max(unsat) - min(unsat) <= 1  # common water level +-1
+
+
+def test_waterfill_budget_exceeding_supply_saturates_all(spark):
+    from java9_gc_log_parser_spark.operators.sampling import (
+        budget_waterfill,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "p q")],
+        "doc_id long, source string, text string",
+    )
+    got = budget_waterfill(docs, budget_num=7, budget_den=5).collect()
+    assert all(r.saturated for r in got)
+    assert all(r.allocation_tokens == r.supply_tokens for r in got)
