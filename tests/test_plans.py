@@ -615,3 +615,44 @@ def test_ivf_pq_composition_plan_shape(spark, sf_dir):
     plan = _formatted(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rendezvous_reshard_plan_is_map_only_plus_one_agg(spark, sf_dir):
+    """q136: both HRW assignments are projections (transform+array_max,
+    no explode, no join); the only Exchange is the tiny movement-matrix
+    aggregation with map-side partials."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q136_rendezvous_reshard"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "Join" not in plan and "Generate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_" in plan
+
+
+def test_normalize_audit_plan_has_no_shuffle(spark, sf_dir):
+    """q138: pure map-only normalization — zero Exchanges, zero joins,
+    no Python (JVM replace/regexp chain end to end)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q138_normalize_audit"](spark, sf_dir)
+    plan = _formatted(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_waterfill_plan_one_corpus_agg_then_tiny_windows(spark, sf_dir):
+    """q139: exactly one map-side-combinable corpus aggregation; the
+    solver's windows run on the O(sources) table (single-partition
+    exchange is fine there); no join anywhere."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q139_budget_waterfill"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "Join" not in plan
+    assert "partial_" in plan  # corpus token-count agg combines map-side
