@@ -2737,6 +2737,30 @@ def q139_budget_waterfill(spark, sf_dir):
     return budget_waterfill(_docs(spark, sf_dir))
 
 
+def q140_split_leakage(spark, sf_dir):
+    """Split-boundary near-dup leakage audit: the q22 MinHash pair set
+    with BOTH ends classified map-side by the q30 split expression (pure
+    function of id — no corpus join), aggregated to one row per
+    unordered split pair with count and worst-leak jaccard. Catches the
+    contamination decontam misses: near-dups of train docs sitting in
+    val/test. Buckets materialize to a q140-owned path so the oracle
+    independently re-runs banding/bucket-cap/exact-Jaccard (q22's seam)
+    then replays the split CASE on both pair ends."""
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        lsh_buckets,
+        minhash_lsh_pairs,
+        split_leakage_report,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = f"{_ORACLE_EXPORT_DIR}/leakage_buckets.parquet"
+    lsh_buckets(docs).write.mode("overwrite").parquet(out)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.4, buckets=spark.read.parquet(out)
+    )
+    return split_leakage_report(pairs)
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -3251,10 +3275,10 @@ FROM (
 )
 
 
-def _split_case_sql(salt: str = "v1") -> str:
+def _split_case_sql(salt: str = "v1", col: str = "doc_id") -> str:
     from java9_gc_log_parser_spark.operators.sampling import split_boundaries
 
-    h = f"substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 4)"
+    h = f"substring(md5(CAST({col} AS VARCHAR) || ':{salt}'), 1, 4)"
     arms = "\n       ".join(
         f"WHEN {h} < '{bound}' THEN '{name}'"
         for name, bound in split_boundaries()
@@ -5785,6 +5809,28 @@ SELECT source, supply_tokens,
 FROM t3
 """
 
+# q140: q22's full pair derivation (banding / bucket cap / exact Jaccard
+# from the materialized signature export) re-targeted at the q140-owned
+# export path, wrapped as a CTE, then the q30 split CASE replayed on both
+# pair ends and aggregated per unordered split pair.
+_ORACLES["q140_split_leakage"] = f"""
+WITH pr AS (
+{_ORACLES["q22_minhash_lsh"].replace("minhash_buckets.parquet",
+                                     "leakage_buckets.parquet")}
+), cl AS (
+  SELECT LEAST({_split_case_sql(col="doc_a")},
+               {_split_case_sql(col="doc_b")}) AS split_a,
+         GREATEST({_split_case_sql(col="doc_a")},
+                  {_split_case_sql(col="doc_b")}) AS split_b,
+         jaccard
+  FROM pr
+)
+SELECT split_a, split_b, split_a <> split_b AS cross_split,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM cl GROUP BY split_a, split_b
+"""
+
 _ORACLES["q137_blocking_quality"] = """
 WITH t AS (
   SELECT doc_id,
@@ -6863,6 +6909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_blocking_quality": q137_blocking_quality,
         "q138_normalize_audit": q138_normalize_audit,
         "q139_budget_waterfill": q139_budget_waterfill,
+        "q140_split_leakage": q140_split_leakage,
     }
     # Driver-gate rotation (VERDICT r3 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in

@@ -1401,3 +1401,43 @@ def ppjoin_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def split_leakage_report(pairs: DataFrame, salt: str = "v1") -> DataFrame:
+    """Train/val/test LEAKAGE audit over a near-dup pair set: how many
+    near-duplicate pairs STRADDLE a split boundary — the contamination
+    the n-gram/semantic decontam screens (q32/q54) don't cover, because
+    a near-dup of a training doc sitting in val inflates eval scores
+    without any eval-benchmark overlap.
+
+    Takes the q22 MinHash pair set (any (doc_a, doc_b, jaccard) frame
+    works) and classifies BOTH ends map-side via the q30 split
+    expression — split membership is a pure function of (id, salt), so
+    there is NO join against the corpus: the report is one tiny
+    aggregation over the pair set. Output one row per unordered split
+    pair: ``(split_a, split_b, cross_split, n_pairs, max_jaccard)`` —
+    max_jaccard is the worst leak's severity, the number a release gate
+    thresholds on.
+
+    Scale shape: pairs ≪ corpus (LSH-bounded); the audit adds a map-only
+    projection + one combinable groupBy over ≤ |splits|² groups.
+    """
+    from java9_gc_log_parser_spark.operators.sampling import split_col
+
+    sa = split_col(F.col("doc_a"), salt)
+    sb = split_col(F.col("doc_b"), salt)
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumn("cross_split", F.col("split_a") != F.col("split_b"))
+        .select("split_a", "split_b", "cross_split", "n_pairs",
+                "max_jaccard")
+    )

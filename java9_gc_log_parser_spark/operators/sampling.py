@@ -61,12 +61,24 @@ def hash_split(
     Pure map-side expression — no shuffle, survives repartitioning and
     re-ingestion unchanged, reproducible outside Spark from (id, salt).
     """
-    b = _bucket(F.col(id_col), salt)
+    return df.withColumn("split", split_col(F.col(id_col), salt, splits))
+
+
+def split_col(
+    id_col: Column,
+    salt: str = "v1",
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+) -> Column:
+    """The split assignment as a bare COLUMN expression (factored from
+    hash_split): because membership is a pure function of (id, salt), any
+    operator can classify an id WITHOUT joining the corpus — e.g. the
+    q140 leakage audit labels both ends of a near-dup pair map-side."""
+    b = _bucket(id_col, salt)
     expr = None
     for name, bound in split_boundaries(splits):
         cond = b < F.lit(bound)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return df.withColumn("split", expr)
+    return expr
 
 
 def stratified_sample(

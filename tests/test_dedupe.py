@@ -643,3 +643,38 @@ def test_ppjoin_boundary_size_prefix_is_integer_exact(spark):
     assert len(rows) == 1
     [r] = rows
     assert (r["inter"], r["uni"]) == (4, 6)
+
+
+def test_split_leakage_classifies_pairs_without_corpus_join(spark):
+    """q140: ends classified by the pure split expression (no join), pair
+    order normalized, counts and worst-jaccard per split pair correct."""
+    from java9_gc_log_parser_spark.operators.dedupe import (
+        split_leakage_report,
+    )
+    from java9_gc_log_parser_spark.operators.sampling import hash_split
+
+    ids = spark.range(200).selectExpr("id AS doc_id")
+    split_of = {
+        r.doc_id: r.split for r in hash_split(ids).collect()
+    }
+    trains = [i for i, s in split_of.items() if s == "train"]
+    vals = [i for i, s in split_of.items() if s == "val"]
+    pairs = spark.createDataFrame(
+        [
+            (trains[0], trains[1], 0.9),
+            (trains[2], vals[0], 0.8),   # cross-split leak
+            (vals[0], trains[3], 0.95),  # reversed order, same class
+        ],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        (r.split_a, r.split_b): r
+        for r in split_leakage_report(pairs).collect()
+    }
+    assert got[("train", "train")].n_pairs == 1
+    assert not got[("train", "train")].cross_split
+    tv = got[("train", "val")]
+    assert tv.cross_split and tv.n_pairs == 2 and tv.max_jaccard == 0.95
+    # no corpus join in the plan: classification is map-side
+    plan = split_leakage_report(pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
