@@ -315,8 +315,9 @@ def _stream_parts(spark) -> str:
     unchanged); only wall time and sink file counts move.
 
     Scope: queries whose stateful stage is ``applyInPandasWithState``
-    (q26/q49/q51) plus the checkpoint batch runner — the ones where the
-    Python worker is the hot stage. JVM-stateful streams use
+    (q26/q49/q51) — the ones where the Python worker is the hot stage.
+    The checkpoint batch runner (q27) manages its own session conf and
+    does NOT read this knob. JVM-stateful streams use
     ``_jvm_state_parts`` instead."""
     return str(max(8, spark.sparkContext.defaultParallelism))
 
@@ -1829,10 +1830,17 @@ def q87_inverted_index(spark, sf_dir):
     via WindowGroupLimit BEFORE collection (hot stopword postings never
     materialize in one task), and df/tf stats flow through a
     map-combinable hash agg that never builds a list. The oracle rebuilds
-    the whole index from raw text."""
+    the whole index from raw text. The posting head is emitted as a
+    comma-joined string (not array<long>): the driver's canonicalizer
+    hashes scalar columns only, and a serialized head is what an index
+    manifest would store anyway."""
     from java9_gc_log_parser_spark.operators.indexing import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir), df_min=2, postings_cap=16)
+    idx = inverted_index(_docs(spark, sf_dir), df_min=2, postings_cap=16)
+    return idx.select(
+        "term", "df", "tf",
+        F.array_join("postings", ",").alias("postings"),
+    )
 
 
 def q88_funnel_conversion(spark, sf_dir):
@@ -2681,7 +2689,7 @@ def q137_blocking_quality(spark, sf_dir):
     )
     return blocking_quality_audit(
         titles, max_seg_freq=2,
-        store_path="/tmp/gclp_oracle/passjoin_capped_pairs.parquet",
+        store_path=f"{_ORACLE_EXPORT_DIR}/passjoin_capped_pairs.parquet",
     )
 
 
@@ -2700,8 +2708,10 @@ def q138_normalize_audit(spark, sf_dir):
     deterministic NOISY variant per doc (doc_id mod 3 selects leading
     spaces + trailing tab / doubled spaces / curly-quote wrapping with an
     em-dash), replayed identically by the oracle: all three chain paths
-    (control-char fold, run collapse, typography fold) are exercised and
-    `changed` is provably true on every row."""
+    (control-char fold, run collapse, typography fold) are exercised.
+    `changed` is true on every mod-0/mod-2 row by construction; a mod-1
+    doc changes iff it contains a space (every sf0.001+ doc does, but the
+    oracle computes — not assumes — the flag either way)."""
     from java9_gc_log_parser_spark.operators.text_analysis import (
         normalize_text,
     )
@@ -4819,7 +4829,9 @@ _ORACLES["q87_inverted_index"] = _DTOK + """
          CAST(SUM(tf_doc) AS BIGINT) AS tf
   FROM pd GROUP BY 1
 ), hd AS (
-  SELECT term, (list(doc_id ORDER BY doc_id))[1:16] AS postings
+  SELECT term,
+         array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',')
+           AS postings
   FROM pd GROUP BY 1
 )
 SELECT st.term, st.df, st.tf, hd.postings
@@ -6911,11 +6923,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_budget_waterfill": q139_budget_waterfill,
         "q140_split_leakage": q140_split_leakage,
     }
-    # Driver-gate rotation (VERDICT r3 "Next round" #1): the driver's
+    # Driver-gate rotation (VERDICT r3/r4 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in
-    # dict insertion order, so q51-q134 carried no driver row through r3.
-    # Round 4 puts q51-q100 first to earn them driver rows; q101+ queue
-    # for round 5; q01-q50 (driver-green in r1-r3) move to the back.
+    # dict insertion order. Round 4 verified q51-q100 (49/50 green; the
+    # sole red, q87, was a driver-canonicalizer schema crash, fixed this
+    # round via array_join). Round 5 puts q101+ first — 40 queries that
+    # have never had a driver row — then the schema-fixed q87 retest.
+    # ROUND-6 ROTATION (planned now so it survives the round boundary):
+    # q01-q50 first — their driver rows are r1-r3 vintage and q11's
+    # ROUND-seam fix (commit 36db70f) postdates its row — i.e. swap the
+    # group keys so `n <= 50` returns (0, n).
     # Names and semantics are untouched — pinned by
     # tests/test_query_hash_pin.py against the pre-reorder sf0.01 value
     # hashes in tests/fixtures/query_hashes_sf001.json.
@@ -6925,11 +6942,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _rotation(name: str) -> tuple[int, int]:
         n = _num(name)
-        if 51 <= n <= 100:
-            return (0, n)  # round-4 driver window
         if n >= 101:
-            return (1, n)  # round-5 queue (includes new round-4 queries)
-        return (2, n)  # q01-q50: already driver-verified r1-r3
+            return (0, n)  # round-5 driver window (never driver-checked)
+        if n == 87:
+            return (1, n)  # schema-fixed retest (r4's only red row)
+        if 51 <= n <= 100:
+            return (2, n)  # driver-green in r4
+        return (3, n)  # q01-q50: driver-green r1-r3; round-6 window
 
     return {name: base[name] for name in sorted(base, key=_rotation)}
 

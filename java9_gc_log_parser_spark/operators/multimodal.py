@@ -8,9 +8,10 @@ Python hot path — batch-at-a-time, never row-at-a-time).
 Decode has TWO paths selected per call (r3 verdict task #2):
 
 * ``decoder="real"`` — an actual still-image decode through
-  ``_decode_image``: binary PPM (P6) in pure Python (always available, so
-  this path is exercised and parity-tested even in this codec-less
-  container), plus anything PIL can open when PIL is importable
+  ``_decode_image``: binary PPM (P6) and 8-bit PNG (stdlib zlib) in pure
+  Python (always available, so this path is exercised and parity-tested
+  even in this codec-less container), plus anything PIL can open when PIL
+  is importable
   (``PIL_AVAILABLE``; probed at import, tests skip cleanly without it).
   Undecodable payloads dead-letter (NULL metadata / dropped), never raise.
 * ``decoder="stub"`` — a clearly-marked DETERMINISTIC STUB
@@ -70,6 +71,111 @@ REAL_DECODERS_AVAILABLE = True
 PIL_AVAILABLE = _PIL_IMAGE is not None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """Minimal PNG decode on stdlib ``zlib`` (VERDICT r4 task #4): 8-bit
+    greyscale (colour type 0) and truecolour RGB (type 2), non-interlaced
+    — the shapes a training-data raster pipeline actually emits. Returns
+    ``(width, height, rgb_bytes)`` or ``None`` (caller dead-letters).
+
+    Grey expands to RGB so every decoder in ``_decode_image`` shares one
+    output contract (what PIL's ``convert("RGB")`` does). All five
+    scanline filters (None/Sub/Up/Average/Paeth) are implemented; CRCs
+    are not verified — this is a decoder for trusted-store parity, not a
+    validator, and a corrupt stream still fails the zlib/length checks.
+    Unfiltering is the per-item codec boundary (inherently sequential
+    along a scanline — same role as the C loop inside libpng); everything
+    around it stays batch-vectorized, per the module discipline.
+
+    Reference parity: the parse-fidelity contract of
+    GcLineParserTest.scala:14-79 (exact bytes in -> exact values out)
+    applied to image payloads.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    try:
+        pos, n = 8, len(payload)
+        w = h = bit_depth = color_type = interlace = None
+        idat: list[bytes] = []
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                return None
+            pos += 12 + length  # 4 len + 4 type + data + 4 crc
+            if ctype == b"IHDR":
+                if length != 13:
+                    return None
+                (w, h, bit_depth, color_type, _comp, _filt, interlace) = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+        if w is None or not idat or w <= 0 or h <= 0:
+            return None
+        if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+            return None
+        nch = 3 if color_type == 2 else 1
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = bytearray()
+        prev = bytearray(stride)
+        p = 0
+        for _ in range(h):
+            f = raw[p]
+            p += 1
+            line = bytearray(raw[p : p + stride])
+            p += stride
+            if f == 1:  # Sub
+                for i in range(nch, stride):
+                    line[i] = (line[i] + line[i - nch]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - nch] if i >= nch else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - nch] if i >= nch else 0
+                    b = prev[i]
+                    c = prev[i - nch] if i >= nch else 0
+                    pa, pb = abs(b - c), abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    line[i] = (line[i] + pr) & 0xFF
+            elif f != 0:
+                return None
+            out += line
+            prev = line
+        if color_type == 0:
+            g = bytes(out)
+            rgb = bytearray(3 * len(g))
+            rgb[0::3] = g
+            rgb[1::3] = g
+            rgb[2::3] = g
+            out = rgb
+        return w, h, bytes(out)
+    except (zlib.error, struct.error, ValueError, IndexError):
+        return None
+
+
 def _decode_image(payload: bytes):
     """Decode one still image: ``(width, height, pixel_bytes)`` or ``None``
     if the payload is not a decodable image (the caller dead-letters it).
@@ -80,8 +186,11 @@ def _decode_image(payload: bytes):
 
     Formats: binary PPM ``P6`` (pure Python: a 15-line header parse + raw
     RGB bytes — no library needed, which is what makes the real path
-    testable in this container), else anything PIL can open when present.
+    testable in this container), binary PNG via the stdlib-zlib decoder
+    below, else anything PIL can open when present.
     """
+    if not payload:  # NULL/empty content -> dead-letter, never raise
+        return None
     if payload[:2] == b"P6":
         try:
             # header: b"P6" <ws> width <ws> height <ws> maxval <single-ws>
@@ -110,6 +219,14 @@ def _decode_image(payload: bytes):
             return w, h, raster
         except (ValueError, IndexError):
             return None
+    if payload[:8] == _PNG_SIG:
+        # Library-free PNG path BEFORE the PIL fallback so the decode is
+        # deterministic whether or not PIL is installed; PNG shapes the
+        # zlib decoder rejects (16-bit, palette, interlaced) fall through
+        # to PIL where present, else dead-letter.
+        decoded = _decode_png(payload)
+        if decoded is not None:
+            return decoded
     if _PIL_IMAGE is not None:  # pragma: no cover - needs PIL in env
         import io
 
@@ -151,7 +268,7 @@ def decode_and_featurize(
     codec accepts, so the oracled queries pin this path explicitly).
 
     ``decoder="real"``: decode each payload as a still image through
-    ``_decode_image`` (pure-Python PPM always; PNG/JPEG wherever PIL
+    ``_decode_image`` (pure-Python PPM + 8-bit PNG always; JPEG etc. where PIL
     exists), metadata from the actual header, feature = pixel-value
     histogram. Undecodable payloads dead-letter in place: NULL
     width/height, n_frames 0, zero feature — never an exception, matching
@@ -180,11 +297,15 @@ def decode_and_featurize(
         import pandas as pd
 
         for pdf in it:
-            content = pdf["content"]
+            # NULL payload == empty payload: undecodable, dead-letters
+            # below instead of raising (the never-raise contract)
+            content = pdf["content"].fillna(b"")
             n_bytes = content.str.len().to_numpy(dtype="int64")
             n_rows = len(n_bytes)
             decoded = [_decode_image(p) for p in content]  # codec boundary
-            ok = np.array([d is not None for d in decoded])
+            # dtype=bool explicitly: np.array([]) defaults to float64 and
+            # `~ok` would raise on an empty Arrow batch
+            ok = np.array([d is not None for d in decoded], dtype=bool)
             w = np.array(
                 [d[0] if d else 0 for d in decoded], dtype="int64"
             )
@@ -227,7 +348,7 @@ def decode_and_featurize(
         import pandas as pd
 
         for pdf in it:
-            content = pdf["content"]
+            content = pdf["content"].fillna(b"")  # NULL == empty payload
             n_bytes = content.str.len().to_numpy(dtype="int64")
             w = (64 + n_bytes % 512).astype("int32")
             h = (64 + (n_bytes * 7) % 512).astype("int32")
@@ -310,7 +431,7 @@ def ahash_signatures(assets: DataFrame, decoder: str = "stub") -> DataFrame:
     cross-multiplication, no float mean, so the DuckDB oracle replays the
     bits from raw bytes with zero seam (q127 pins ``decoder="stub"``: its
     corpus is text bytes). ``decoder="real"`` swaps ONLY the byte source:
-    payloads decode through ``_decode_image`` (PPM always, PIL formats
+    payloads decode through ``_decode_image`` (PPM/PNG always, PIL formats
     when present) and the identical kernel hashes the interleaved-RGB
     pixel stream — its 64 balanced segments are the 8x8-cell analog over
     the flattened raster; undecodable payloads are dropped (dead-letter).
@@ -335,7 +456,7 @@ def ahash_signatures(assets: DataFrame, decoder: str = "stub") -> DataFrame:
         import pandas as pd
 
         for pdf in it:
-            content = pdf["content"]
+            content = pdf["content"].fillna(b"")  # NULL == empty payload
             if decoder == "real":
                 decoded = [_decode_image(p) for p in content]
                 keep = [d is not None for d in decoded]

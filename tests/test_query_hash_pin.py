@@ -72,12 +72,41 @@ def test_hash_unchanged(spark01, fixture_hashes, name):
 
 
 def test_rotation_shape():
-    """The driver window (first 50 insertion-order entries) is q51-q100."""
+    """Round-5 driver window (first ~50 insertion-order entries): every
+    q101+ query (never driver-checked before r5), then the schema-fixed
+    q87 retest, then q51-q100 (r4-green), then q01-q50 (r1-r3-green,
+    queued for the round-6 window)."""
     names = list(entrymod.queries())
     nums = [int(n[1:n.index("_")]) for n in names]
-    assert sorted(nums[:50]) == list(range(51, 101))
-    assert all(v >= 101 for v in nums[50:-50])
+    n_new = sum(1 for v in nums if v >= 101)
+    assert nums[:n_new] == sorted(v for v in nums if v >= 101)
+    assert nums[n_new] == 87
+    assert sorted(nums[n_new + 1:-50]) == [
+        v for v in range(51, 101) if v != 87
+    ]
     assert sorted(nums[-50:]) == list(range(1, 51))
     # every query still has an oracle or documented omission
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(names)
+
+
+def test_no_complex_typed_output_columns(spark):
+    """Driver-canonicalizer conformance (VERDICT r4 task #2): NO
+    ``queries()`` entry may emit ArrayType/MapType/StructType columns —
+    the driver's pandas canonicalizer sorts cell values and crashes on
+    unhashable lists (the r4 q87 red row, `postings` array<long>).
+    Schema-only and lazy: nothing executes, so all 140 stay cheap."""
+    from pyspark.sql import types as T
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in entrymod.queries().items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "complex-typed output columns crash the driver canonicalizer; "
+        "serialize them (array_join / to_json) instead: " + "; ".join(bad)
+    )
