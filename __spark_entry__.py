@@ -2771,6 +2771,111 @@ def q140_split_leakage(spark, sf_dir):
     return split_leakage_report(pairs)
 
 
+def q141_stream_index_maintenance(spark, sf_dir):
+    """Streaming IVF×PQ index maintenance (VERDICT r4 task #7): the ANN
+    lifecycle's missing leg between build (q34/q130/q135) and eval
+    (q119/q120). A bootstrap corpus (vec_id % 3 != 2) trains the index
+    metadata ONCE — coarse cells + PQ codebooks, a few KB — and its
+    vectors are batch-encoded as the base generation; the remaining
+    vectors then ARRIVE as a file stream and each micro-batch encodes
+    against the FIXED broadcast metadata and appends per cell under the
+    q67 generation + atomic-pointer discipline (replayed batch ids are
+    drained, not re-applied; codebooks never move — re-train is a
+    planned rebuild). Oracled end-to-end: the drained maintained index
+    (base + every appended generation) must equal the batch-built index
+    — same train-on-base, encode-all — that the oracle re-derives from
+    raw vectors, row for row. Per-batch cost is batch rows × metadata
+    (the no-corpus-re-scan plan pinned in tests/test_plans.py); at 100
+    TB/day of new vectors the corpus is never re-read and the index
+    grows append-only, partition-pruned by cell."""
+    import shutil
+
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    root = _scratch(sf_dir, "q141")
+    shutil.rmtree(root, ignore_errors=True)
+    src, out_root, ck = f"{root}/src", f"{root}/gens", f"{root}/ckpt"
+    embs = _embs(spark, sf_dir)
+    base = embs.filter(F.col("vec_id") % 3 != 2)
+    embs.filter(F.col("vec_id") % 3 == 2).repartition(8).write.parquet(src)
+
+    cells, books = ivfpq_train(base)
+    # the shipped index metadata: tiny, collected once at train time and
+    # re-broadcast per micro-batch (never re-derived from the corpus)
+    cells_rows, books_rows = cells.collect(), books.collect()
+    cells_schema, books_schema = cells.schema, books.schema
+    ivfpq_encode(base, cells, books).write.partitionBy("cell").parquet(
+        f"{out_root}/base"
+    )
+    os.makedirs(out_root, exist_ok=True)
+    ptr = os.path.join(out_root, "_CURRENT")
+
+    def _cur():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def _emit(batch_df, batch_id):
+        last = _cur()
+        if last is not None and batch_id <= last:
+            batch_df.count()  # drain the replayed batch, side effects skipped
+            return
+        enc = ivfpq_encode(
+            batch_df,
+            spark.createDataFrame(cells_rows, cells_schema),
+            spark.createDataFrame(books_rows, books_schema),
+        )
+        enc.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{out_root}/batch={batch_id}"
+        )
+        tmp = ptr + f".tmp{batch_id}"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, ptr)
+
+    emb_schema = embs.schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
+    try:
+        q = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(_emit)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = _cur()
+    gens = [f"{out_root}/base"] + (
+        [f"{out_root}/batch={i}" for i in range(int(final) + 1)]
+        if final is not None
+        else []
+    )
+    # read each generation dir on its own (each recovers its cell=N
+    # partition dirs); a wholesale read of out_root would misparse the
+    # batch=N dir names as a partition column
+    idx = spark.read.parquet(gens[0])
+    for g in gens[1:]:
+        idx = idx.unionByName(spark.read.parquet(g))
+    return idx.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("s").cast("int").alias("s"),
+        F.col("code").cast("int").alias("code"),
+        F.when(F.col("vec_id") % 3 == 2, F.lit("stream"))
+        .otherwise(F.lit("base"))
+        .alias("origin"),
+    )
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -5745,6 +5850,106 @@ _ORACLES["q130_ann_pq"] = _pq_oracle_sql()
 _ORACLES["q135_ann_ivf_pq"] = _ivf_pq_oracle_sql()
 
 
+def _stream_ivfpq_oracle_sql(
+    m: int = 4, k_codes: int = 4, dim: int = 64, n_centroids: int = 16
+) -> str:
+    """q141: batch re-derivation of the MAINTAINED index — train cells +
+    PQ codebooks on the bootstrap corpus only (vec_id % 3 != 2, the
+    q130/q135 k-means unroll restricted to the base), then encode EVERY
+    vector against the fixed metadata. Equality with the drained
+    streaming index proves per-batch maintenance preserved batch-build
+    semantics exactly (the q67 sketch-associativity discipline applied
+    to an index)."""
+    sub = dim // m
+
+    def _assign_sql(src: str, c: str) -> str:
+        d2 = (
+            f"ROUND({src}.esq - 2.0 * list_dot_product({src}.emb, c.c_emb)"
+            " + c.c_sq, 6)"
+        )
+        return f"""
+  SELECT vec_id, cluster FROM (
+    SELECT {src}.vec_id, c.cluster, {d2} AS d2,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {d2}, c.cluster) AS rk
+    FROM {src} CROSS JOIN {c} AS c
+  ) WHERE rk = 1
+"""
+
+    parts = [_EMB, ", eb AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 3 <> 2)"]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sl = f"emb[{lo}:{hi}]"
+        parts.append(
+            f"""
+, ea{s} AS MATERIALIZED (
+  SELECT vec_id, {sl} AS emb,
+         ROUND(list_dot_product({sl}, {sl}), 6) AS esq
+  FROM e
+),
+eb{s} AS MATERIALIZED (
+  SELECT vec_id, {sl} AS emb,
+         ROUND(list_dot_product({sl}, {sl}), 6) AS esq
+  FROM eb
+),
+seed{s} AS (
+  SELECT vec_id, {sl} AS emb,
+         CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS INT) AS cluster
+  FROM eb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}
+),
+c0{s} AS (SELECT cluster, emb AS c_emb,
+                 ROUND(list_dot_product(emb, emb), 6) AS c_sq FROM seed{s}),
+a0{s} AS MATERIALIZED ({_assign_sql(f"eb{s}", f"c0{s}")}),
+md0{s} AS (
+  SELECT a.cluster,
+         unnest(generate_series(1, len(ee.emb))) AS pos,
+         unnest(ee.emb) AS val
+  FROM a0{s} a JOIN eb{s} ee USING (vec_id)
+),
+md{s} AS (SELECT cluster, pos, ROUND(AVG(val), 6) AS v
+          FROM md0{s} GROUP BY cluster, pos),
+c1{s} AS MATERIALIZED (
+  SELECT cluster, c_emb,
+         ROUND(list_dot_product(c_emb, c_emb), 6) AS c_sq
+  FROM (SELECT cluster, list(v ORDER BY pos) AS c_emb
+        FROM md{s} GROUP BY cluster)
+),
+cd{s} AS (SELECT vec_id, {s} AS s, cluster AS code
+          FROM ({_assign_sql(f"ea{s}", f"c1{s}")}))"""
+        )
+    codes_u = "\n  UNION ALL ".join(f"SELECT * FROM cd{s}" for s in range(m))
+    parts.append(
+        f"""
+, codes AS ({codes_u}),
+cent AS (
+  SELECT vec_id AS cid, emb AS cemb FROM eb
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+cellscore AS (
+  SELECT v.vec_id, c.cid,
+         {_COS.format(a="v.emb", b="c.cemb")} AS ccos
+  FROM e v, cent c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) AS crk
+    FROM cellscore
+  ) WHERE crk = 1
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.cell AS BIGINT) AS cell,
+       CAST(c.s AS INT) AS s, CAST(c.code AS INT) AS code,
+       CASE WHEN a.vec_id % 3 = 2 THEN 'stream' ELSE 'base' END AS origin
+FROM assigned a JOIN codes c USING (vec_id)"""
+    )
+    return "".join(parts)
+
+
+_ORACLES["q141_stream_index_maintenance"] = _stream_ivfpq_oracle_sql()
+
+
 def _normalize_chain_sql(col: str) -> str:
     """The q138 normalization chain as DuckDB SQL — built programmatically
     so the unicode punctuation appears as literal characters (DuckDB does
@@ -6922,6 +7127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_normalize_audit": q138_normalize_audit,
         "q139_budget_waterfill": q139_budget_waterfill,
         "q140_split_leakage": q140_split_leakage,
+        "q141_stream_index_maintenance": q141_stream_index_maintenance,
     }
     # Driver-gate rotation (VERDICT r3/r4 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in

@@ -714,3 +714,136 @@ def ann_ivf_pq_recall_report(
         m=m, k_codes=k_codes,
     ).select("query_id", "neighbor_id")
     return _recall_vs(exact, approx, k)
+
+
+def ivfpq_train(
+    base: DataFrame,
+    n_centroids: int = 16,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF×PQ index METADATA on a bootstrap corpus and nothing
+    else: returns ``(cells, books)`` where ``cells`` is the coarse-cell
+    centroid table ``(cid, cent_emb, cent_nrm)`` (first ``n_centroids``
+    base vec_ids — ``_ivf_cells``'s seed rule) and ``books`` the
+    per-subspace PQ codebooks ``(s, cluster, c_emb, c_sq)`` after
+    ``iters`` deterministic Lloyd rounds (``_pq_codes_and_lut``'s
+    training verbatim, restricted to the base).
+
+    This is the train/encode SPLIT the streaming maintenance query (q141)
+    needs: training sees only the bootstrap slice, so arriving vectors
+    can be encoded per micro-batch against FIXED metadata — the online
+    regime of a production ANN index, where re-training is a planned
+    rebuild, not a per-batch event. Both outputs are tiny
+    (``n_centroids`` + ``m*k_codes`` rows) — collect once, ship to the
+    maintenance job, broadcast per batch.
+    """
+    from java9_gc_log_parser_spark.operators.clustering import (
+        _assign,
+        _init_centroids,
+        _update,
+    )
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    b = _with_norm(base)
+    cells = (
+        b.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("_emb").alias("cent_emb"),
+            F.col("_nrm").alias("cent_nrm"),
+        )
+    )
+    book_parts = []
+    for s in range(m):
+        e_s = base.select(
+            "vec_id",
+            F.transform(
+                F.slice(F.col("embedding"), s * sub + 1, sub),
+                lambda v: v.cast("double"),
+            ).alias("_emb"),
+        ).withColumn("_esq", F.round(_dot(F.col("_emb"), F.col("_emb")), 6))
+        cents = _init_centroids(e_s, k_codes)
+        assigned = _assign(e_s, cents)
+        for _ in range(iters - 1):
+            cents = _update(e_s, assigned)
+            assigned = _assign(e_s, cents)
+        book_parts.append(cents.select(F.lit(s).alias("s"), "cluster",
+                                       "c_emb", "c_sq"))
+    books = book_parts[0]
+    for p in book_parts[1:]:
+        books = books.unionByName(p)
+    return cells, books
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    cells: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode ``vectors`` into IVF×PQ index rows ``(vec_id, cell, s,
+    code)`` against FIXED metadata from :func:`ivfpq_train`.
+
+    Plan shape (the q141 claim, pinned in tests/test_plans.py): the ONLY
+    table scanned is ``vectors`` — cells and books join as broadcasts, so
+    a micro-batch encode touches batch rows plus a few KB of metadata and
+    NEVER re-scans the corpus. Cell assignment is the map-side-combinable
+    max_by argmax (``_ivf_cells``'s tie-break: highest rounded cosine,
+    then lowest cid); PQ codes are the struct-min argmin over rounded
+    expanded-form distances (``clustering._assign``'s contract), with the
+    per-row subspace slice driven by the broadcast ``s`` column so all
+    ``m`` subspaces encode in ONE pass. Per-vector cost: O(n_centroids +
+    m*k_codes) JVM array ops; the two grouped argmins share the one
+    batch-sized shuffle key (vec_id)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = _with_norm(vectors)
+    cent_cos = F.round(
+        _dot(F.col("_emb"), F.col("cent_emb"))
+        / (F.col("_nrm") * F.col("cent_nrm") + F.lit(EPS)),
+        6,
+    )
+    assigned = (
+        v.join(F.broadcast(cells))
+        .withColumn("_ccos", cent_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("_ccos"), -F.col("cid"))
+            ).alias("cell")
+        )
+    )
+    se = F.slice(F.col("_emb"), F.col("s") * sub + 1, F.lit(sub))
+    pairs = (
+        v.select("vec_id", "_emb")
+        .join(F.broadcast(books))
+        .withColumn("_se", se)
+        .withColumn("_esq", F.round(_dot(F.col("_se"), F.col("_se")), 6))
+    )
+    d2 = F.round(
+        F.col("_esq") - 2.0 * _dot(F.col("_se"), F.col("c_emb"))
+        + F.col("c_sq"),
+        6,
+    )
+    codes = (
+        pairs.select(
+            "vec_id", "s", F.struct(d2.alias("d2"), "cluster").alias("_t")
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("_t").alias("_t"))
+        .select("vec_id", "s", F.col("_t.cluster").alias("code"))
+    )
+    return assigned.join(codes, "vec_id").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("s").cast("int").alias("s"),
+        F.col("code").cast("int").alias("code"),
+    )

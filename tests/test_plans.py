@@ -656,3 +656,65 @@ def test_waterfill_plan_one_corpus_agg_then_tiny_windows(spark, sf_dir):
     plan = _formatted(df)
     assert "Join" not in plan
     assert "partial_" in plan  # corpus token-count agg combines map-side
+
+
+def test_ivfpq_encode_never_rescans_the_corpus(spark, sf_dir):
+    """q141's per-micro-batch claim: encoding a batch of new vectors
+    against the trained index metadata scans ONLY the batch — cells and
+    codebooks enter as broadcasts (collected rows, corpus-free lineage),
+    so the plan has exactly one parquet scan and no sort-merge join. This
+    is what makes streaming maintenance O(batch), not O(corpus)."""
+    import re
+
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells, books = ivfpq_train(embs.filter(F.col("vec_id") % 3 != 2))
+    # metadata as collected-row DataFrames — the shape _emit rebuilds per
+    # batch inside foreachBatch; the batch itself stands in as in-memory
+    # rows (a micro-batch is not a corpus file), so ANY parquet scan in
+    # the encode plan would be a corpus re-scan
+    cells_b = spark.createDataFrame(cells.collect(), cells.schema)
+    books_b = spark.createDataFrame(books.collect(), books.schema)
+    batch = embs.filter(F.col("vec_id") % 3 == 2)
+    batch_b = spark.createDataFrame(batch.collect(), batch.schema)
+    plan = _formatted(ivfpq_encode(batch_b, cells_b, books_b))
+    assert len(re.findall(r"Scan parquet", plan)) == 0
+    assert (
+        "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    )
+    # the one permitted non-broadcast join is cell-leg ⋈ code-leg, both
+    # batch-derived and keyed on vec_id — O(batch), never O(corpus)
+    assert (
+        len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+        <= 1
+    )
+
+
+def test_ivfpq_maintained_index_equals_batch_build(spark, sf_dir):
+    """q141 engine-internal invariant (the oracle checks it cross-engine;
+    this pins it in-Spark at test speed): the drained maintained index ==
+    one-shot encode of the full corpus against the same base-trained
+    metadata."""
+    import __spark_entry__ as entrymod
+    from java9_gc_log_parser_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    got = sorted(
+        (r.vec_id, r.cell, r.s, r.code)
+        for r in entrymod.queries()["q141_stream_index_maintenance"](
+            spark, sf_dir
+        ).collect()
+    )
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells, books = ivfpq_train(embs.filter(F.col("vec_id") % 3 != 2))
+    want = sorted(
+        (r.vec_id, r.cell, r.s, r.code)
+        for r in ivfpq_encode(embs, cells, books).collect()
+    )
+    assert got == want
