@@ -316,8 +316,10 @@ def _stream_parts(spark) -> str:
 
     Scope: queries whose stateful stage is ``applyInPandasWithState``
     (q26/q49/q51) — the ones where the Python worker is the hot stage.
-    The checkpoint batch runner (q27) manages its own session conf and
-    does NOT read this knob. JVM-stateful streams use
+    The checkpoint batch runner (q27) does NOT read this knob: it is a
+    batch-job loop, so it runs at the session's default shuffle
+    partitions, which in the bench/driver session is already the core
+    count this knob would set. JVM-stateful streams use
     ``_jvm_state_parts`` instead."""
     return str(max(8, spark.sparkContext.defaultParallelism))
 
