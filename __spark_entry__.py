@@ -2792,82 +2792,35 @@ def q141_stream_index_maintenance(spark, sf_dir):
     grows append-only, partition-pruned by cell."""
     import shutil
 
-    from java9_gc_log_parser_spark.operators.similarity import (
-        ivfpq_encode,
-        ivfpq_train,
-    )
+    from java9_gc_log_parser_spark.operators.similarity import ivfpq_train
+    from java9_gc_log_parser_spark.streaming import index_maintenance as im
 
     root = _scratch(sf_dir, "q141")
     shutil.rmtree(root, ignore_errors=True)
-    src, out_root, ck = f"{root}/src", f"{root}/gens", f"{root}/ckpt"
+    src, out_root = f"{root}/src", f"{root}/gens"
     embs = _embs(spark, sf_dir)
     base = embs.filter(F.col("vec_id") % 3 != 2)
     embs.filter(F.col("vec_id") % 3 == 2).repartition(8).write.parquet(src)
 
     cells, books = ivfpq_train(base)
-    # the shipped index metadata: tiny, collected once at train time and
-    # re-broadcast per micro-batch (never re-derived from the corpus)
+    # the shipped index metadata: tiny, collected ONCE at train time and
+    # re-broadcast everywhere (base encode included — the training jobs
+    # never re-run), never re-derived from the corpus
     cells_rows, books_rows = cells.collect(), books.collect()
-    cells_schema, books_schema = cells.schema, books.schema
-    ivfpq_encode(base, cells, books).write.partitionBy("cell").parquet(
-        f"{out_root}/base"
-    )
-    os.makedirs(out_root, exist_ok=True)
-    ptr = os.path.join(out_root, "_CURRENT")
-
-    def _cur():
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as f:
-            return int(f.read().strip())
-
-    def _emit(batch_df, batch_id):
-        last = _cur()
-        if last is not None and batch_id <= last:
-            batch_df.count()  # drain the replayed batch, side effects skipped
-            return
-        enc = ivfpq_encode(
-            batch_df,
-            spark.createDataFrame(cells_rows, cells_schema),
-            spark.createDataFrame(books_rows, books_schema),
-        )
-        enc.write.partitionBy("cell").mode("overwrite").parquet(
-            f"{out_root}/batch={batch_id}"
-        )
-        tmp = ptr + f".tmp{batch_id}"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, ptr)
-
-    emb_schema = embs.schema
+    cells_b = spark.createDataFrame(cells_rows, cells.schema)
+    books_b = spark.createDataFrame(books_rows, books.schema)
+    im.write_base_generation(base, cells_b, books_b, out_root)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _jvm_state_parts(spark))
     try:
-        q = (
-            spark.readStream.schema(emb_schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-            .writeStream.foreachBatch(_emit)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
+        im.maintain_index(
+            spark, src, embs.schema, out_root,
+            cells_rows, cells.schema, books_rows, books.schema,
+            max_files_per_trigger=2,
         )
-        _await_drained(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    final = _cur()
-    gens = [f"{out_root}/base"] + (
-        [f"{out_root}/batch={i}" for i in range(int(final) + 1)]
-        if final is not None
-        else []
-    )
-    # read each generation dir on its own (each recovers its cell=N
-    # partition dirs); a wholesale read of out_root would misparse the
-    # batch=N dir names as a partition column
-    idx = spark.read.parquet(gens[0])
-    for g in gens[1:]:
-        idx = idx.unionByName(spark.read.parquet(g))
-    return idx.select(
+    return im.read_index(spark, out_root).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cell").cast("long").alias("cell"),
         F.col("s").cast("int").alias("s"),
