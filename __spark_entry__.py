@@ -2831,6 +2831,60 @@ def q141_stream_index_maintenance(spark, sf_dir):
     )
 
 
+def q142_real_decode_audit(spark, sf_dir):
+    """REAL image decode, driver-oracled (closes the r4-verdict gap that
+    the real leg was pytest-only because the corpus is text bytes): the
+    query synthesizes a VALID binary-PPM payload per document — an 8x8
+    RGB raster whose 192 bytes are 12 chained md5 blocks of the doc_id,
+    a construction both engines replay bit-identically — then runs the
+    actual mapInPandas decode_and_featurize(decoder='real') over them.
+    Output is integer-exact: header-derived width/height/n_frames,
+    payload n_bytes, and the 8-bin pixel histogram recovered to COUNTS
+    (feature ratio x 192 rounds exactly: count/192 in float32 carries
+    < 2^-23 relative error, far under the 0.5 rounding margin). The
+    oracle rebuilds the raster bytes from the same md5 hex chain in SQL
+    and re-derives every column — so the pure-Python codec boundary
+    itself, not a stub of it, is what the cross-engine gate checks.
+    Scale shape: map-only synthesis + one Arrow-batched mapInPandas pass,
+    no shuffle, no join. PNG decode is parity-locked to this PPM kernel
+    in tests/test_multimodal.py (zlib streams are not SQL-expressible)."""
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        decode_and_featurize,
+    )
+
+    hex_parts = [
+        F.md5(
+            F.concat_ws(
+                "_", F.col("doc_id").cast("string"), F.lit(str(i))
+            )
+        )
+        for i in range(12)
+    ]
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.concat(
+            F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"),
+            F.unhex(F.concat(*hex_parts)),
+        ).alias("content"),
+    )
+    feats = decode_and_featurize(assets, feat_dim=8, decoder="real")
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x.cast("double") * 192).cast("int"),
+            ),
+        ).alias("hist"),
+    )
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -5904,6 +5958,44 @@ FROM assigned a JOIN codes c USING (vec_id)"""
 
 _ORACLES["q141_stream_index_maintenance"] = _stream_ivfpq_oracle_sql()
 
+# q142: re-derive the synthesized PPM payloads' decode results from the
+# same md5 hex chain — raster bytes from hex pairs, dense 8-bin histogram
+# (zero-count bins included), constant header fields the real decoder
+# must have read from the payload (11 header bytes + 192 raster bytes).
+_ORACLES["q142_real_decode_audit"] = """
+WITH d AS (SELECT doc_id FROM documents),
+hexes AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS h
+  FROM d, range(12) t(i)
+),
+rast AS (
+  SELECT doc_id, string_agg(h, '' ORDER BY i) AS rh FROM hexes GROUP BY 1
+),
+vals AS (
+  SELECT doc_id, j,
+         (strpos('0123456789abcdef', substr(rh, 2*j + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(rh, 2*j + 2, 1)) - 1) AS b
+  FROM rast, range(192) t(j)
+),
+hist AS (
+  SELECT doc_id, b % 8 AS bin, CAST(COUNT(*) AS INT) AS c
+  FROM vals GROUP BY 1, 2
+),
+bins AS (SELECT doc_id, k AS bin FROM d, range(8) t(k)),
+dense AS (
+  SELECT bins.doc_id, bins.bin, COALESCE(hist.c, 0) AS c
+  FROM bins LEFT JOIN hist ON bins.doc_id = hist.doc_id
+                          AND bins.bin = hist.bin
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(203 AS BIGINT) AS n_bytes,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist
+FROM dense GROUP BY doc_id
+"""
+
 
 def _normalize_chain_sql(col: str) -> str:
     """The q138 normalization chain as DuckDB SQL — built programmatically
@@ -7083,6 +7175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_budget_waterfill": q139_budget_waterfill,
         "q140_split_leakage": q140_split_leakage,
         "q141_stream_index_maintenance": q141_stream_index_maintenance,
+        "q142_real_decode_audit": q142_real_decode_audit,
     }
     # Driver-gate rotation (VERDICT r3/r4 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in

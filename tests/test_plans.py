@@ -718,3 +718,19 @@ def test_ivfpq_maintained_index_equals_batch_build(spark, sf_dir):
         for r in ivfpq_encode(embs, cells, books).collect()
     )
     assert got == want
+
+
+def test_real_decode_audit_plan_is_map_only(spark, sf_dir):
+    """q142: payload synthesis is a JVM projection (md5/unhex/concat) and
+    the only Python is the one Arrow-batched mapInPandas decode stage —
+    zero Exchanges, zero joins, no row-at-a-time Python."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q142_real_decode_audit"](spark, sf_dir)
+    plan = _formatted(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
