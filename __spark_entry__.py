@@ -2885,6 +2885,40 @@ def q142_real_decode_audit(spark, sf_dir):
     )
 
 
+def q143_real_ahash_audit(spark, sf_dir):
+    """REAL-path perceptual hash, driver-oracled (q142's companion, same
+    gap: q127 pins the stub leg). The query builds the identical
+    synthesized PPM corpus as q142 and runs the actual
+    ahash_signatures(decoder='real') kernel — decode through the codec
+    boundary, then the 64-balanced-segment integer-threshold hash over
+    the DECODED 192-byte raster. The oracle replays the bit arithmetic
+    over the md5-derived raster bytes only; a match is cross-engine proof
+    that the real leg hashes pixels, not payload bytes (the 11 header
+    bytes the stub would have included are provably absent from the
+    signature). Map-only mapInPandas, no shuffle."""
+    from java9_gc_log_parser_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+
+    hex_parts = [
+        F.md5(
+            F.concat_ws(
+                "_", F.col("doc_id").cast("string"), F.lit(str(i))
+            )
+        )
+        for i in range(12)
+    ]
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.concat(
+            F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"),
+            F.unhex(F.concat(*hex_parts)),
+        ).alias("content"),
+    )
+    return ahash_signatures(assets, decoder="real")
+
+
 def q131_compaction_apply(spark, sf_dir):
     """Execute q94's binpack plan and prove it from the WRITTEN state:
     micro-file layout written one-file-per-(source, file_id), plan bins
@@ -5996,6 +6030,41 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
 FROM dense GROUP BY doc_id
 """
 
+# q143: aHash bit arithmetic (q127's integer-threshold kernel) replayed
+# over the RASTER bytes of the q142 synthesis only — header bytes
+# excluded, proving the real leg hashes decoded pixels.
+_ORACLES["q143_real_ahash_audit"] = """
+WITH d AS (SELECT doc_id FROM documents),
+hexes AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS h
+  FROM d, range(12) t(i)
+),
+rast AS (
+  SELECT doc_id, string_agg(h, '' ORDER BY i) AS rh FROM hexes GROUP BY 1
+),
+b AS (
+  SELECT doc_id, j,
+         (strpos('0123456789abcdef', substr(rh, 2*j + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(rh, 2*j + 2, 1)) - 1) AS byte,
+         (j * 64) // 192 AS s
+  FROM rast, range(192) t(j)
+),
+seg AS (
+  SELECT doc_id, s, SUM(byte) AS ssum, COUNT(*) AS scnt
+  FROM b GROUP BY doc_id, s
+),
+tot AS (
+  SELECT doc_id, SUM(byte) AS ts, COUNT(*) AS n FROM b GROUP BY doc_id
+)
+SELECT CAST(seg.doc_id AS BIGINT) AS asset_id,
+  CAST(SUM(CASE WHEN ssum * n <= ts * scnt THEN 0
+           WHEN s = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << CAST(s AS INT)) END) AS BIGINT)
+    AS ahash
+FROM seg JOIN tot USING (doc_id) GROUP BY seg.doc_id
+"""
+
 
 def _normalize_chain_sql(col: str) -> str:
     """The q138 normalization chain as DuckDB SQL — built programmatically
@@ -7176,6 +7245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_split_leakage": q140_split_leakage,
         "q141_stream_index_maintenance": q141_stream_index_maintenance,
         "q142_real_decode_audit": q142_real_decode_audit,
+        "q143_real_ahash_audit": q143_real_ahash_audit,
     }
     # Driver-gate rotation (VERDICT r3/r4 "Next round" #1): the driver's
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in
