@@ -2933,7 +2933,11 @@ def q144_real_png_decode_audit(spark, sf_dir):
     192 md5-chain bytes as q142, and the oracle re-derives width/height/
     histogram from the hex chain — identical numbers through a different
     codec container, which is exactly the PPM↔PNG parity contract made
-    cross-engine. Map-only, one Arrow stage, no shuffle."""
+    cross-engine. Odd doc_ids additionally ship rows 1..7 Up-filtered
+    (type 2, filtered byte = (raw - byte_above) mod 256, built in the
+    same hex arithmetic), so the decoder's unfilter loop must INVERT a
+    real encoding — not just strip zero filter bytes — to reproduce the
+    oracle's raster. Map-only, one Arrow stage, no shuffle."""
     from java9_gc_log_parser_spark.operators.multimodal import (
         decode_and_featurize,
     )
@@ -2949,24 +2953,43 @@ def q144_real_png_decode_audit(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.concat(*hex_parts).alias("rh")
     )
-    # raw deflate payload: 8 scanlines of (filter byte 0x00 + 24 raster
-    # bytes) = 200 bytes; adler32 over it in exact integer arithmetic
-    # (filter zeros contribute nothing to s1/s2 but shift positions, so
-    # raster byte j sits at 1-based raw position j + j DIV 24 + 2)
+    # Scanline filters are part of the cross-engine claim: even doc_ids
+    # ship all rows filter-0 (raw), odd doc_ids ship rows 1..7 with the
+    # Up filter (type 2) — filtered byte = (raw - byte_above) mod 256,
+    # expressible as exact hex arithmetic — so _decode_png's unfilter
+    # loop must INVERT the encoding to reproduce the oracle's raster.
+    def _up_row_hex(r: int) -> Column:
+        return F.expr(
+            "aggregate(sequence(0, 23), '', (acc, j) -> acc || "
+            "lpad(hex((256 "
+            f"+ cast(conv(substr(rh, ({r}*24 + j)*2 + 1, 2), 16, 10)"
+            " as bigint) "
+            f"- cast(conv(substr(rh, ({r - 1}*24 + j)*2 + 1, 2), 16, 10)"
+            " as bigint)) % 256), 2, '0'))"
+        )
+
+    raw_rows = [
+        F.concat(F.lit("00"), F.substring("rh", r * 48 + 1, 48))
+        for r in range(8)
+    ]
+    up_rows = [raw_rows[0]] + [
+        F.concat(F.lit("02"), _up_row_hex(r)) for r in range(1, 8)
+    ]
+    scanline_hex = F.when(
+        F.col("doc_id") % 2 == 1, F.concat(*up_rows)
+    ).otherwise(F.concat(*raw_rows))
+    docs = docs.withColumn("sh", scanline_hex)
+    # adler32 over the 200-byte FILTERED raw stream (what the inflater
+    # checksums), as an exact-integer positional sum: byte j (0-based)
+    # carries weight 200 - j in s2
     s1 = F.expr(
-        "(1 + aggregate(sequence(0, 191), 0L, (acc, j) -> acc + "
-        "cast(conv(substr(rh, j*2+1, 2), 16, 10) as bigint))) % 65521"
+        "(1 + aggregate(sequence(0, 199), 0L, (acc, j) -> acc + "
+        "cast(conv(substr(sh, j*2+1, 2), 16, 10) as bigint))) % 65521"
     )
     s2 = F.expr(
-        "(200 + aggregate(sequence(0, 191), 0L, (acc, j) -> acc + "
-        "(199 - j - j DIV 24) * "
-        "cast(conv(substr(rh, j*2+1, 2), 16, 10) as bigint))) % 65521"
-    )
-    scanline_hex = F.concat(
-        *[
-            F.concat(F.lit("00"), F.substring("rh", r * 48 + 1, 48))
-            for r in range(8)
-        ]
+        "(200 + aggregate(sequence(0, 199), 0L, (acc, j) -> acc + "
+        "(200 - j) * "
+        "cast(conv(substr(sh, j*2+1, 2), 16, 10) as bigint))) % 65521"
     )
     # sig + IHDR(8x8, 8-bit RGB, CRC=0) + IDAT len/type + zlib hdr 0x7801
     # + stored-block hdr (BFINAL=1 BTYPE=00, LEN=200 LE, NLEN)
@@ -2979,7 +3002,7 @@ def q144_real_png_decode_audit(spark, sf_dir):
     png_suffix = "00000000" "0000000049454e4400000000"  # IDAT CRC + IEND
     payload_hex = F.concat(
         F.lit(png_prefix),
-        scanline_hex,
+        F.col("sh"),
         F.lpad(F.hex(s2 * 65536 + s1), 8, "0"),
         F.lit(png_suffix),
     )
