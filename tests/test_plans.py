@@ -734,3 +734,24 @@ def test_real_decode_audit_plan_is_map_only(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q143_real_ahash_audit", "q144_real_png_decode_audit"],
+)
+def test_real_leg_audits_are_map_only(spark, sf_dir, qname):
+    """q143/q144 (q142's companions): payload synthesis — including
+    q144's adler32 positional sum and Up-filter hex arithmetic — is one
+    JVM projection; the only Python is the single Arrow mapInPandas
+    stage. Zero Exchanges, zero joins."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[qname](spark, sf_dir)
+    plan = _formatted(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
