@@ -96,3 +96,24 @@ def test_replay_of_committed_batch_is_skipped(spark, sf_dir, trained,
     im.maintain_index(*args, max_files_per_trigger=2)
     after = _index_rows(im.read_index(spark, out_root))
     assert after == before
+
+
+def test_encode_empty_batch_yields_empty_generation(spark, sf_dir, trained):
+    """availableNow can hand foreachBatch an empty final micro-batch; the
+    encode of zero vectors must be an empty frame with the index schema,
+    not an error."""
+    embs, base, cells, books = trained
+    empty = embs.filter(F.lit(False))
+    out = ivfpq_encode(empty, cells, books)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cell", "s", "code",
+    ]
+
+
+def test_train_rejects_indivisible_dim(spark, sf_dir, trained):
+    embs, base, _, _ = trained
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_train(base, m=5, dim=64)
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_encode(embs, None, None, m=7, dim=64)

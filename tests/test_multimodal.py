@@ -458,3 +458,59 @@ def test_real_decode_png_featurize_parity_with_ppm(spark):
               for r in ahash_signatures(df, decoder="real").collect()}
     assert set(hashes) == {1, 2}  # NULL row dead-lettered
     assert hashes[1] == hashes[2]  # identical decoded rasters
+
+
+def test_png_roundtrip_property():
+    """Property test (hypothesis): ANY raster, any size 1..12 x 1..8, any
+    per-row filter assignment, both colour types — encode with the
+    fixture encoder, decode with the zlib path, recover exact pixels."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from java9_gc_log_parser_spark.operators.multimodal import _decode_png
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 8),
+        color_type=st.sampled_from([0, 2]),
+        data=st.data(),
+    )
+    def check(w, h, color_type, data):
+        nch = 3 if color_type == 2 else 1
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * nch,
+                    max_size=w * h * nch,
+                )
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        png = _png(w, h, raster, color_type=color_type, filters=filters)
+        got = _decode_png(png)
+        assert got is not None
+        gw, gh, rgb = got
+        assert (gw, gh) == (w, h)
+        if color_type == 2:
+            assert rgb == raster
+        else:
+            assert rgb[0::3] == raster
+
+    check()
+
+
+def test_png_decoder_never_raises_on_mutations():
+    """Fuzz-lite: byte-level mutations of a valid PNG must dead-letter
+    (None) or decode — never raise (the route-stage discipline)."""
+    from java9_gc_log_parser_spark.operators.multimodal import _decode_png
+
+    base = _png(5, 4, bytes((i * 7) % 256 for i in range(60)))
+    for cut in range(0, len(base), 7):
+        _decode_png(base[:cut])  # truncations
+    for pos in range(8, min(len(base), 80)):
+        mutated = base[:pos] + bytes([base[pos] ^ 0xFF]) + base[pos + 1:]
+        _decode_png(mutated)  # single-byte corruption
