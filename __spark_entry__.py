@@ -7372,12 +7372,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS gate checks only the first ~50 ``queries()`` entries in
     # dict insertion order. Round 4 verified q51-q100 (49/50 green; the
     # sole red, q87, was a driver-canonicalizer schema crash, fixed this
-    # round via array_join). Round 5 puts q101+ first — 40 queries that
-    # have never had a driver row — then the schema-fixed q87 retest.
-    # ROUND-6 ROTATION (planned now so it survives the round boundary):
-    # q01-q50 first — their driver rows are r1-r3 vintage and q11's
-    # ROUND-seam fix (commit 36db70f) postdates its row — i.e. swap the
-    # group keys so `n <= 50` returns (0, n).
+    # round via array_join). Round 5 puts q101+ first — the queries that
+    # have never had a driver row — then the two retests: the
+    # schema-fixed q87 and q11, the one remaining query whose green
+    # driver row (r1-r3 vintage) predates a semantic fix (the ROUND-seam
+    # repair, commit 36db70f). That makes every query's newest semantics
+    # driver-checked or queued in a window that fits the ~50-entry gate.
+    # ROUND-6 ROTATION (if a next round happens): q01-q50 first — their
+    # rows are r1-r3 vintage — i.e. swap the group keys so `n <= 50`
+    # returns (0, n).
     # Names and semantics are untouched — pinned by
     # tests/test_query_hash_pin.py against the pre-reorder sf0.01 value
     # hashes in tests/fixtures/query_hashes_sf001.json.
@@ -7389,11 +7392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = _num(name)
         if n >= 101:
             return (0, n)  # round-5 driver window (never driver-checked)
-        if n == 87:
-            return (1, n)  # schema-fixed retest (r4's only red row)
+        if n in (87, 11):
+            return (1, n)  # retests: q87 schema fix, q11 stale driver row
         if 51 <= n <= 100:
             return (2, n)  # driver-green in r4
-        return (3, n)  # q01-q50: driver-green r1-r3; round-6 window
+        return (3, n)  # q01-q50 rest: driver-green r1-r3; round-6 window
 
     return {name: base[name] for name in sorted(base, key=_rotation)}
 

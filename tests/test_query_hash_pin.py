@@ -73,18 +73,19 @@ def test_hash_unchanged(spark01, fixture_hashes, name):
 
 def test_rotation_shape():
     """Round-5 driver window (first ~50 insertion-order entries): every
-    q101+ query (never driver-checked before r5), then the schema-fixed
-    q87 retest, then q51-q100 (r4-green), then q01-q50 (r1-r3-green,
-    queued for the round-6 window)."""
+    q101+ query (never driver-checked before r5), then the two retests
+    (q11 stale driver row, q87 schema fix), then q51-q100 (r4-green),
+    then the rest of q01-q50 (r1-r3-green, queued for a round-6
+    window)."""
     names = list(entrymod.queries())
     nums = [int(n[1:n.index("_")]) for n in names]
     n_new = sum(1 for v in nums if v >= 101)
     assert nums[:n_new] == sorted(v for v in nums if v >= 101)
-    assert nums[n_new] == 87
-    assert sorted(nums[n_new + 1:-50]) == [
+    assert nums[n_new:n_new + 2] == [11, 87]
+    assert sorted(nums[n_new + 2:-49]) == [
         v for v in range(51, 101) if v != 87
     ]
-    assert sorted(nums[-50:]) == list(range(1, 51))
+    assert sorted(nums[-49:]) == [v for v in range(1, 51) if v != 11]
     # every query still has an oracle or documented omission
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(names)
