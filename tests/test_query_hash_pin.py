@@ -96,18 +96,23 @@ def test_no_complex_typed_output_columns(spark):
     ``queries()`` entry may emit ArrayType/MapType/StructType columns —
     the driver's pandas canonicalizer sorts cell values and crashes on
     unhashable lists (the r4 q87 red row, `postings` array<long>).
-    Schema-only and lazy: nothing executes, so all 140 stay cheap."""
+    Binary/Decimal/Null scalars are banned too: they round-trip
+    differently (or not at all) through pandas sorting + hashing, and no
+    query needs them (hex/round-to-string instead). Schema-only and
+    mostly lazy, so the full suite stays cheap."""
     from pyspark.sql import types as T
 
+    banned = (
+        T.ArrayType, T.MapType, T.StructType,
+        T.BinaryType, T.DecimalType, T.NullType,
+    )
     sf_dir = "/root/testdata/sf0.001"
     bad = []
     for name, fn in entrymod.queries().items():
         for f in fn(spark, sf_dir).schema.fields:
-            if isinstance(
-                f.dataType, (T.ArrayType, T.MapType, T.StructType)
-            ):
+            if isinstance(f.dataType, banned):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, (
-        "complex-typed output columns crash the driver canonicalizer; "
-        "serialize them (array_join / to_json) instead: " + "; ".join(bad)
+        "driver-canonicalizer-hostile output columns; serialize them "
+        "(array_join / to_json / hex / round) instead: " + "; ".join(bad)
     )
